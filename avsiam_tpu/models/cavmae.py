@@ -1,0 +1,339 @@
+"""CAV-MAE pretraining model (siamese audio-visual MAE + contrastive).
+
+TPU-native re-design of the reference ``CAVMAE_BASE``
+(src/models/cav_mae_base.py:216-741). Public API parity: ``__call__(audio,
+imgs, mask_ratio_a, mask_ratio_v, mae_loss_weight, contrast_loss_weight,
+mask_mode)`` returns the same 8-tuple
+(loss, loss_mae, loss_mae_a, loss_mae_v, loss_c, mask_a, mask_v, c_acc).
+
+Structure parity notes:
+* TWO full encoder copies: ``vit`` and ``ast`` (ast = deepcopy of vit at init,
+  cav_mae_base.py:303). The MAE branch runs audio through ast blocks with the
+  shared (modality=None) norms and video through vit blocks with 'v'
+  (cav_mae_base.py:483-495); the contrastive branch runs both modalities
+  through vit with 'a'/'v' routing (cav_mae_base.py:554-566).
+* MAE mask ratio is hard-coded 0.75 in forward regardless of args
+  (cav_mae_base.py:696); the mmixed contrastive branch ignores the ratio args
+  and uses chunk ratios 0.2*i (cav_mae_base.py:546-549).
+* Decoder: 768->512 embed, zero-init TRAINABLE pos embeds / mask token /
+  modality embeds (cav_mae_base.py:311-337 — never sin-cos initialized), 8
+  blocks dim 512 / 16 heads, per-modality pred heads 512->256 and 512->768.
+* mm_layer_1/2 (copies of encoder block 11 at init, cav_mae_base.py:306-307)
+  run over the concatenated kept tokens with 'a' norms before the decoder
+  (cav_mae_base.py:699-700).
+
+TPU-first departures (mathematically equivalent):
+* The multi-ratio contrastive encoder defaults to a single batched
+  full-length encode with per-sample attention key-validity masks + masked
+  mean-pool ('padded' impl) instead of 5 variable-length chunk encodes —
+  one static shape, full MXU utilization. 'exact' impl mirrors the
+  reference's chunked gather for parity testing.
+* The global-batch embedding gather (GatherLayer, gather_layer.py:21-37) is
+  ``jax.lax.all_gather`` over the 'data' mesh axis (differentiable; its
+  transpose is a reduce-scatter).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from avsiam_tpu.configs import CAVMAEConfig
+from avsiam_tpu.models.layers import (LayerNormFP32, ModalityBlock,
+                                      SiameseViT)
+from avsiam_tpu.ops import masking as mk
+from avsiam_tpu.ops.contrastive import info_nce_gathered
+from avsiam_tpu.ops.patchify import audio_to_image, patchify
+
+
+def chunk_sizes(batch: int, num_chunks: int) -> list[int]:
+    """torch.chunk semantics: ceil(B/n)-sized chunks, last one smaller; empty
+    chunks dropped (cav_mae_base.py:466 ``torch.chunk(perm, 5)``)."""
+    size = -(-batch // num_chunks)
+    sizes = []
+    rem = batch
+    while rem > 0:
+        sizes.append(min(size, rem))
+        rem -= size
+    return sizes
+
+
+class MAEDecoder(nn.Module):
+    """MAE decoder. Parity: cav_mae_base.py:311-337, 597-638."""
+
+    cfg: CAVMAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        d = c.decoder
+        p = c.vit.patch_size
+        self.embed = nn.Dense(d.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                              name="embed")
+        zeros = nn.initializers.zeros
+        self.pos_embed_a = self.param(
+            "pos_embed_a", zeros, (1, c.vit.num_audio_tokens, d.dim), jnp.float32)
+        self.pos_embed_v = self.param(
+            "pos_embed_v", zeros, (1, c.vit.num_video_tokens, d.dim), jnp.float32)
+        self.mask_token = self.param("mask_token", zeros, (1, 1, d.dim),
+                                     jnp.float32)
+        self.modality_a = self.param("modality_a", zeros, (1, 1, d.dim),
+                                     jnp.float32)
+        self.modality_v = self.param("modality_v", zeros, (1, 1, d.dim),
+                                     jnp.float32)
+        self.blocks = [
+            ModalityBlock(d.dim, d.num_heads, d.mlp_ratio, True, d.ln_eps,
+                          self.dtype, c.attn_impl, name=f"blocks_{i}")
+            for i in range(d.depth)
+        ]
+        self.norm = LayerNormFP32(epsilon=d.ln_eps, dtype=self.dtype,
+                                  name="norm")
+        self.pred_a = nn.Dense(p * p * 1, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="pred_a")
+        self.pred_v = nn.Dense(p * p * 3, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="pred_v")
+
+    def __call__(self, x, ids_restore_a, ids_restore_v,
+                 len_keep_a: int, len_keep_v: int):
+        c = self.cfg
+        La = c.vit.num_audio_tokens
+        Lv = c.vit.num_video_tokens
+        B = x.shape[0]
+        x = self.embed(x)
+        D = x.shape[-1]
+
+        def _restore(kept, ids_restore, total):
+            n_mask = total - kept.shape[1]
+            mask_tokens = jnp.broadcast_to(
+                self.mask_token.astype(kept.dtype), (B, n_mask, D))
+            full = jnp.concatenate([kept, mask_tokens], axis=1)
+            return jnp.take_along_axis(full, ids_restore[:, :, None], axis=1)
+
+        a_ = _restore(x[:, :len_keep_a], ids_restore_a, La)
+        v_ = _restore(x[:, len_keep_a:], ids_restore_v, Lv)
+        a_ = a_ + (self.pos_embed_a + self.modality_a).astype(a_.dtype)
+        v_ = v_ + (self.pos_embed_v + self.modality_v).astype(v_.dtype)
+        x = jnp.concatenate([a_, v_], axis=1)
+        for blk in self.blocks:
+            x = blk(x, None)
+        x = self.norm(x)
+        return self.pred_a(x[:, :La]), self.pred_v(x[:, La:])
+
+
+class CAVMAEPretrain(nn.Module):
+    """The pretraining model. RNG collections: 'mask' (token masking) and
+    'perm' (mmixed batch permutations)."""
+
+    cfg: CAVMAEConfig
+
+    def setup(self):
+        c = self.cfg
+        self.vit = SiameseViT(c.vit, c.dtype, c.attn_impl, c.embed_double,
+                              c.remat_blocks, name="vit")
+        self.ast = SiameseViT(c.vit, c.dtype, c.attn_impl, c.embed_double,
+                              c.remat_blocks, name="ast")
+        self.mm_layer_1 = ModalityBlock(
+            c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
+            c.vit.block_ln_eps, c.dtype, c.attn_impl, name="mm_layer_1")
+        self.mm_layer_2 = ModalityBlock(
+            c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
+            c.vit.block_ln_eps, c.dtype, c.attn_impl, name="mm_layer_2")
+        self.decoder = MAEDecoder(c, c.dtype, name="decoder")
+
+    # ------------------------------------------------------------------
+    # MAE encoder (cav_mae_base.py:441-504)
+    # ------------------------------------------------------------------
+    def forward_encoder(self, audio, imgs, mask_ratio_a: float,
+                        mask_ratio_v: float):
+        c = self.cfg
+        a = self.vit.embed_audio(audio)
+        v = self.vit.embed_video(imgs)
+        len_keep_a = mk.len_keep_for(c.vit.num_audio_tokens, mask_ratio_a)
+        len_keep_v = mk.len_keep_for(c.vit.num_video_tokens, mask_ratio_v)
+        rng_a = self.make_rng("mask")
+        rng_v = self.make_rng("mask")
+        a, mask_a, ids_restore_a = mk.random_masking(rng_a, a, len_keep_a)
+        v, mask_v, ids_restore_v = mk.random_masking(rng_v, v, len_keep_v)
+        # audio through the ast copy with the SHARED norms (modality=None),
+        # video through vit with 'v' routing (cav_mae_base.py:483-495)
+        for i in range(c.vit.depth):
+            v = self.vit.blocks[i](v, "v")
+            a = self.ast.blocks[i](a, None)
+        cv = self.vit.norm(v)
+        ca = self.ast.norm_a(a)
+        x = jnp.concatenate([ca, cv], axis=1)
+        return x, mask_a, ids_restore_a, mask_v, ids_restore_v
+
+    # ------------------------------------------------------------------
+    # Multi-ratio contrastive encoder (cav_mae_base.py:508-594)
+    # ------------------------------------------------------------------
+    def forward_encoder_mmixed(self, audio, imgs):
+        c = self.cfg
+        a = self.vit.embed_audio(audio)
+        v = self.vit.embed_video(imgs)
+        B = a.shape[0]
+        f, t = c.vit.audio_grid
+        La, Lv = c.vit.num_audio_tokens, c.vit.num_video_tokens
+
+        sizes = chunk_sizes(B, c.mmixed_num_chunks)
+        ratios = [c.mmixed_ratio_step * i for i in range(len(sizes))]
+        perm_a = jax.random.permutation(self.make_rng("perm"), B)
+        perm_v = jax.random.permutation(self.make_rng("perm"), B)
+
+        if c.mmixed_impl == "exact":
+            ca, cv = self._mmixed_exact(a, v, perm_a, perm_v, sizes, ratios)
+        else:
+            ca, cv = self._mmixed_padded(a, v, perm_a, perm_v, sizes, ratios)
+        return ca, cv
+
+    def _encode_contrastive(self, x, modality: str,
+                            key_valid: Optional[jnp.ndarray] = None):
+        x = self.vit.run_blocks(x, modality, key_valid)
+        x = self.vit.final_norm(x, modality)
+        if key_valid is None:
+            return jnp.mean(x, axis=1, keepdims=True)
+        return mk.masked_mean(x, key_valid)[:, None, :]
+
+    def _mmixed_exact(self, a, v, perm_a, perm_v, sizes, ratios):
+        """Reference-faithful chunked encode: each chunk gathered to its own
+        static length and encoded separately (cav_mae_base.py:543-594)."""
+        c = self.cfg
+        f, t = c.vit.audio_grid
+        La, Lv = a.shape[1], v.shape[1]
+        a_parts, v_parts = [], []
+        off = 0
+        for i, size in enumerate(sizes):
+            idx_a = jax.lax.dynamic_slice_in_dim(perm_a, off, size)
+            idx_v = jax.lax.dynamic_slice_in_dim(perm_v, off, size)
+            a_i = jnp.take(a, idx_a, axis=0)
+            v_i = jnp.take(v, idx_v, axis=0)
+            a_i, _, _ = mk.random_masking_structured(
+                self.make_rng("mask"), a_i, ratios[i], t=t, f=f, mode="tf")
+            v_i, _, _ = mk.random_masking(
+                self.make_rng("mask"), v_i, mk.len_keep_for(Lv, ratios[i]))
+            a_parts.append(self._encode_contrastive(a_i, "a"))
+            v_parts.append(self._encode_contrastive(v_i, "v"))
+            off += size
+        ca = jnp.concatenate(a_parts, axis=0)
+        cv = jnp.concatenate(v_parts, axis=0)
+        # inverse-permute back to input order (cav_mae_base.py:575-590)
+        ca = jnp.take(ca, jnp.argsort(perm_a), axis=0)
+        cv = jnp.take(cv, jnp.argsort(perm_v), axis=0)
+        return ca, cv
+
+    def _mmixed_padded(self, a, v, perm_a, perm_v, sizes, ratios):
+        """TPU fast path: one batched full-length encode per modality with
+        per-sample keep masks (equivalent: masked keys contribute nothing to
+        kept-token attention; mean-pool over kept tokens only)."""
+        c = self.cfg
+        f, t = c.vit.audio_grid
+        B, La = a.shape[0], a.shape[1]
+        Lv = v.shape[1]
+
+        # per-position chunk id along the permutation, then scatter to samples
+        chunk_of_pos = jnp.concatenate(
+            [jnp.full((s,), i, dtype=jnp.int32) for i, s in enumerate(sizes)])
+        chunk_a = jnp.zeros((B,), jnp.int32).at[perm_a].set(chunk_of_pos)
+        chunk_v = jnp.zeros((B,), jnp.int32).at[perm_v].set(chunk_of_pos)
+
+        # static per-chunk counts, computed exactly as the reference's int()
+        keep_a_counts = jnp.array(
+            [mk.len_keep_for(La, r) for r in ratios], jnp.int32)
+        keep_v_counts = jnp.array(
+            [mk.len_keep_for(Lv, r) for r in ratios], jnp.int32)
+        boost_t_counts = jnp.array(
+            [int(t * r * 0.7) for r in ratios], jnp.int32)
+        boost_f_counts = jnp.array(
+            [int(f * r * 0.7) for r in ratios], jnp.int32)
+
+        # --- audio: structured 'tf' noise with per-sample boost counts ---
+        rng = self.make_rng("mask")
+        k_noise, k_t, k_f, k_v = jax.random.split(rng, 4)
+        noise = jax.random.uniform(k_noise, (B, f, t))
+        rank_t = jnp.argsort(jnp.argsort(
+            jax.random.uniform(k_t, (B, t)), axis=1), axis=1)
+        rank_f = jnp.argsort(jnp.argsort(
+            jax.random.uniform(k_f, (B, f)), axis=1), axis=1)
+        boost = jnp.logical_or(
+            (rank_t < boost_t_counts[chunk_a][:, None])[:, None, :],
+            (rank_f < boost_f_counts[chunk_a][:, None])[:, :, None])
+        noise = jnp.where(boost, 1.1, noise).reshape(B, La)
+        ranks_a = jnp.argsort(jnp.argsort(noise, axis=1), axis=1)
+        keep_a = ranks_a < keep_a_counts[chunk_a][:, None]
+
+        # --- video: unstructured with per-sample keep counts ---
+        noise_v = jax.random.uniform(k_v, (B, Lv))
+        ranks_v = jnp.argsort(jnp.argsort(noise_v, axis=1), axis=1)
+        keep_v = ranks_v < keep_v_counts[chunk_v][:, None]
+
+        ca = self._encode_contrastive(a, "a", keep_a)
+        cv = self._encode_contrastive(v, "v", keep_v)
+        return ca, cv
+
+    # ------------------------------------------------------------------
+    # MAE loss (cav_mae_base.py:663-683)
+    # ------------------------------------------------------------------
+    def forward_mae_loss(self, inputs, pred, mask, modality: str):
+        c = self.cfg
+        p = c.vit.patch_size
+        if modality == "a":
+            img = audio_to_image(inputs)
+            target = patchify(img, p)
+        else:
+            target = patchify(inputs, p)
+        target = target.astype(jnp.float32)
+        pred = pred.astype(jnp.float32)
+        loss = jnp.mean((pred - target) ** 2, axis=-1)  # [N, L]
+        return jnp.sum(loss * mask) / jnp.sum(mask)
+
+    # ------------------------------------------------------------------
+    # Full forward (cav_mae_base.py:685-741)
+    # ------------------------------------------------------------------
+    def __call__(self, audio, imgs, mask_ratio_a: float = 0.75,
+                 mask_ratio_v: float = 0.75, mae_loss_weight: float = 1.0,
+                 contrast_loss_weight: float = 0.01,
+                 mask_mode: str = "unstructured",
+                 axis_name: Optional[str] = None):
+        c = self.cfg
+        zero = jnp.zeros((), jnp.float32)
+        La = c.vit.num_audio_tokens
+        Lv = c.vit.num_video_tokens
+
+        if mae_loss_weight != 0:
+            # ratios hard-coded 0.75 regardless of args (cav_mae_base.py:696)
+            x, mask_a, ids_ra, mask_v, ids_rv = self.forward_encoder(
+                audio, imgs, c.mae_mask_ratio, c.mae_mask_ratio)
+            # mm layers run with 'a' norms over the concatenated kept tokens
+            # (cav_mae_base.py:699-700)
+            x = self.mm_layer_1(x, "a")
+            x = self.mm_layer_2(x, "a")
+            len_keep_a = mk.len_keep_for(La, c.mae_mask_ratio)
+            len_keep_v = mk.len_keep_for(Lv, c.mae_mask_ratio)
+            pred_a, pred_v = self.decoder(x, ids_ra, ids_rv,
+                                          len_keep_a, len_keep_v)
+            loss_mae_a = self.forward_mae_loss(audio, pred_a, mask_a, "a")
+            loss_mae_v = self.forward_mae_loss(imgs, pred_v, mask_v, "v")
+            # note: the weight only gates the branch; the sum is unweighted
+            # (cav_mae_base.py:707)
+            loss_mae = loss_mae_a + loss_mae_v
+        else:
+            loss_mae_a = loss_mae_v = loss_mae = zero
+            mask_a = jnp.zeros((audio.shape[0], La), jnp.float32)
+            mask_v = jnp.zeros((imgs.shape[0], Lv), jnp.float32)
+
+        if contrast_loss_weight != 0:
+            ca, cv = self.forward_encoder_mmixed(audio, imgs)
+            loss_c, c_acc = info_nce_gathered(
+                jnp.mean(ca, axis=1), jnp.mean(cv, axis=1),
+                temperature=c.contrast_temp, bidirect=True,
+                axis_name=axis_name)
+            loss_c = contrast_loss_weight * loss_c
+        else:
+            loss_c = c_acc = zero
+
+        loss = loss_c + loss_mae
+        return loss, loss_mae, loss_mae_a, loss_mae_v, loss_c, mask_a, mask_v, c_acc

@@ -1,0 +1,245 @@
+"""Core transformer layers: MLP, attention wrapper, modality-routed block,
+patch embedding, and the shared siamese ViT trunk.
+
+These are built TPU-first: patch embedding is reshape+matmul (MXU) instead of
+a conv, attention dispatches to the fused Pallas kernel (ops/attention.py),
+LayerNorm statistics run in float32 under bf16 compute, and every module takes
+a static ``modality`` string so XLA traces straight-line code.
+
+Reference parity:
+* Attention — src/models/cav_mae_base.py:31-83 (timm-style MHSA, qkv bias).
+* Block — src/models/cav_mae_base.py:102-211: pre-LN block with THREE norm
+  sets (norm1/norm1_a/norm1_v, norm2/...); the static modality in
+  {None,'a','v','av'} selects the norms while attention + MLP weights are
+  shared across modalities — the "siamese" mechanism.
+* PatchEmbed — src/models/cav_mae_base.py:85-100 (Conv2d k=16 s=16).
+* SiameseViT — the surgically-modified timm ViT-B of cav_mae_base.py:236-303:
+  video + audio patch embeds, full [1,197,D] pos embed (CLS row kept for
+  checkpoint parity but unused), audio pos embed [1,512,D], per-modality final
+  norms, and the x2 embedding doubling quirk (cav_mae_base.py:450,455).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from avsiam_tpu.configs import ViTConfig
+from avsiam_tpu.ops.attention import attention
+from avsiam_tpu.ops.patchify import audio_to_image, patchify
+
+Dtype = Any
+
+
+class LayerNormFP32(nn.Module):
+    """LayerNorm with float32 statistics; output cast back to ``dtype``."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="ln")(
+                             x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class Mlp(nn.Module):
+    """timm Mlp parity: fc1 -> GELU (exact, erf) -> fc2."""
+
+    dim: int
+    hidden_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU() is exact erf
+        x = nn.Dense(self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """MHSA with fused qkv; dispatches to Pallas/XLA fused attention.
+
+    Parity: cav_mae_base.py:31-83 (scale = head_dim**-0.5, fused SDPA).
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, key_valid: Optional[jnp.ndarray] = None):
+        B, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = attention(q, k, v, key_valid=key_valid, impl=self.attn_impl)
+        out = out.reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj")(out)
+
+
+class ModalityBlock(nn.Module):
+    """Pre-LN ViT block with modality-routed norm sets and shared attn/MLP.
+
+    Parity: cav_mae_base.py:102-211. ``modality`` is static:
+      None  -> norm1/norm2 (shared set; MAE audio branch + decoder blocks)
+      'a'   -> norm1_a/norm2_a
+      'v'   -> norm1_v/norm2_v
+      'av'  -> tuple input (a, v): per-modality norms, joint attention; returns
+               (out[:, :num_a], x_mid[:, num_a:]) — faithful to the reference's
+               return of the PRE-MLP tail for v (cav_mae_base.py:195-211).
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ln_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        mk = lambda name: LayerNormFP32(epsilon=self.ln_eps, dtype=self.dtype,
+                                        name=name)
+        self.norm1 = mk("norm1")
+        self.norm1_a = mk("norm1_a")
+        self.norm1_v = mk("norm1_v")
+        self.norm2 = mk("norm2")
+        self.norm2_a = mk("norm2_a")
+        self.norm2_v = mk("norm2_v")
+        self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
+                              self.dtype, self.attn_impl, name="attn")
+        self.mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
+                       name="mlp")
+
+    def __call__(self, x, modality: Optional[str] = None,
+                 key_valid: Optional[jnp.ndarray] = None):
+        if modality is None:
+            n1, n2 = self.norm1, self.norm2
+        elif modality == "a":
+            n1, n2 = self.norm1_a, self.norm2_a
+        elif modality == "v":
+            n1, n2 = self.norm1_v, self.norm2_v
+        elif modality == "av":
+            a, v = x
+            num_a = a.shape[1]
+            x = jnp.concatenate([self.norm1_a(a), self.norm1_v(v)], axis=1)
+            x = x + self.attn(x, key_valid=key_valid)
+            a2 = self.norm2_a(x[:, :num_a])
+            v2 = self.norm2_v(x[:, num_a:])
+            out = x + self.mlp(jnp.concatenate([a2, v2], axis=1))
+            return out[:, :num_a], x[:, num_a:]
+        else:
+            raise ValueError(f"unknown modality: {modality}")
+        x = x + self.attn(n1(x), key_valid=key_valid)
+        x = x + self.mlp(n2(x))
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Patchify + linear projection (MXU-friendly Conv2d k=p s=p equivalent).
+
+    Kernel layout is [(p, p, c) flattened, dim] so a torch conv weight
+    [dim, c, p, p] maps via transpose(2, 3, 1, 0).reshape(-1, dim).
+    Parity: cav_mae_base.py:85-100.
+    """
+
+    dim: int
+    patch_size: int = 16
+    in_chans: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, C, H, W]
+        tokens = patchify(x, self.patch_size)  # [B, L, p*p*C]
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj")(tokens)
+
+
+class SiameseViT(nn.Module):
+    """The shared-weight audio/video ViT trunk after the reference's weight
+    surgery (cav_mae_base.py:236-303).
+
+    Holds: video patch embed (3ch), audio patch embed (1ch, init = RGB mean of
+    the video one at import time), pos_embed [1, 1+196, D] (CLS row retained
+    for checkpoint compatibility; only [:, 1:] is used), pos_embed_a
+    [1, 512, D] (nearest-interp of the video one at import time), the 12
+    modality-routed blocks, and per-modality final norms.
+    """
+
+    cfg: ViTConfig
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    embed_double: bool = True
+    remat: bool = False
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = PatchEmbed(c.dim, c.patch_size, 3, self.dtype,
+                                      name="patch_embed")
+        self.patch_embed_a = PatchEmbed(c.dim, c.patch_size, 1, self.dtype,
+                                        name="patch_embed_a")
+        trunc = nn.initializers.truncated_normal(stddev=0.02)
+        self.pos_embed = self.param(
+            "pos_embed", trunc, (1, 1 + c.num_video_tokens, c.dim), jnp.float32)
+        self.pos_embed_a = self.param(
+            "pos_embed_a", trunc, (1, c.num_audio_tokens, c.dim), jnp.float32)
+        block_cls = ModalityBlock
+        if self.remat:
+            block_cls = nn.remat(ModalityBlock, static_argnums=(2,))
+        self.blocks = [
+            block_cls(c.dim, c.num_heads, c.mlp_ratio, c.qkv_bias,
+                      c.block_ln_eps, self.dtype, self.attn_impl,
+                      name=f"blocks_{i}")
+            for i in range(c.depth)
+        ]
+        self.norm = LayerNormFP32(epsilon=c.final_ln_eps, dtype=self.dtype,
+                                  name="norm")
+        self.norm_a = LayerNormFP32(epsilon=c.final_ln_eps, dtype=self.dtype,
+                                    name="norm_a")
+
+    def embed_audio(self, fbank: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, F] fbank -> [B, 512, D] tokens (with the x2 quirk).
+
+        Parity: cav_mae_base.py:444-450.
+        """
+        a = audio_to_image(fbank.astype(self.dtype))
+        a = self.patch_embed_a(a)
+        a = a + self.pos_embed_a.astype(self.dtype)
+        if self.embed_double:
+            a = a + a  # x = x + norm_pre(x), norm_pre == Identity
+        return a
+
+    def embed_video(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        """[B, 3, H, W] -> [B, 196, D] tokens (with the x2 quirk).
+
+        Parity: cav_mae_base.py:453-455 (pos embed drops the CLS row).
+        """
+        v = self.patch_embed(imgs.astype(self.dtype))
+        v = v + self.pos_embed[:, 1:].astype(self.dtype)
+        if self.embed_double:
+            v = v + v
+        return v
+
+    def run_blocks(self, x, modality: Optional[str] = None,
+                   key_valid: Optional[jnp.ndarray] = None):
+        for blk in self.blocks:
+            x = blk(x, modality, key_valid)
+        return x
+
+    def final_norm(self, x, modality: str):
+        return self.norm_a(x) if modality == "a" else self.norm(x)

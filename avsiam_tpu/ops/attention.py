@@ -1,0 +1,217 @@
+"""Multi-head attention ops: fused Pallas TPU kernel + XLA fallback.
+
+The reference uses CUDA fused scaled-dot-product attention when available
+(src/models/cav_mae_base.py:64-68, torch F.scaled_dot_product_attention) —
+this module is its TPU-native equivalent.
+
+Design notes (TPU-first):
+
+* AVSiam sequences are short — 196 (video), 512 (audio), up to 708 (fusion)
+  tokens. The whole K/V for one (batch, head) fits comfortably in VMEM, so the
+  right kernel is a *fused* attention (one pass, full-row softmax) rather than
+  a streaming flash kernel with running max/sum: zero recomputation and no
+  accumulator traffic. Q is tiled at 128 rows to line up with the MXU.
+* Softmax statistics are computed in float32 regardless of input dtype.
+* A custom VJP provides a fused backward kernel (recompute scores, one pass).
+* Key-validity masking (used by the padded multi-ratio contrastive encoder,
+  see ops/masking.py) enters as an additive float bias on the scores.
+
+All shapes are [B, N, H, D] at the public API (token-major, matching how the
+model carries activations); kernels operate on [B, H, N, D].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU builds too, but guard anyway
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_NEG_INF = -1e30
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  key_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Reference XLA implementation. q,k,v: [B, N, H, D]; key_valid: [B, N] bool."""
+    B, N, H, D = q.shape
+    scale = D ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if key_valid is not None:
+        bias = jnp.where(key_valid, 0.0, _NEG_INF).astype(jnp.float32)
+        s = s + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused attention (forward)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    # q_ref: [1, 1, BQ, D], k_ref/v_ref: [1, 1, Np, D], bias_ref: [1, 1, Np]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, Np]
+    s = s * scale + bias_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float):
+    # all tensor refs: [1, 1, Np, D] (full sequence per (b, h)); bias: [1, 1, Np]
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [Nq, Nk]
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax VJP
+    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                    * scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+                    * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = jnp.dot(p.T, do,
+                           preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _pad_tokens(x: jnp.ndarray, n_to: int) -> jnp.ndarray:
+    n = x.shape[2]
+    if n == n_to:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, n_to - n), (0, 0)))
+
+
+def _bias_from_valid(key_valid: Optional[jnp.ndarray], B: int, N: int,
+                     Np: int) -> jnp.ndarray:
+    if key_valid is None:
+        valid = jnp.ones((B, N), dtype=bool)
+    else:
+        valid = key_valid
+    if Np != N:
+        valid = jnp.pad(valid, ((0, 0), (0, Np - N)), constant_values=False)
+    # [B, 1, Np]: keep a broadcastable middle dim so BlockSpec tiles align
+    return jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+
+
+def _pallas_fwd(q, k, v, bias, *, block_q: int):
+    # q,k,v: [B, H, Np, D]; bias: [B, Np]
+    B, H, Np, D = q.shape
+    scale = D ** -0.5
+    grid = (B, H, Np // block_q)
+    kv_spec = pl.BlockSpec((1, 1, Np, D), lambda b, h, i: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+            pl.BlockSpec((1, 1, Np), lambda b, h, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Np * Np * D,
+            bytes_accessed=(3 * B * H * Np * D + B * H * Np * D) * q.dtype.itemsize,
+            transcendentals=B * H * Np * Np,
+        ),
+    )(q, k, v, bias)
+
+
+def _pallas_bwd(q, k, v, bias, do):
+    B, H, Np, D = q.shape
+    scale = D ** -0.5
+    grid = (B, H)
+    full = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[full, full, full,
+                  pl.BlockSpec((1, 1, Np), lambda b, h: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  full],
+        out_specs=(full, full, full),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, H, Np, D), q.dtype)
+                        for _ in range(3)),
+    )(q, k, v, bias, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pallas_attention(q, k, v, bias, block_q):
+    return _pallas_fwd(q, k, v, bias, block_q=block_q)
+
+
+def _pallas_attention_fwd(q, k, v, bias, block_q):
+    out = _pallas_fwd(q, k, v, bias, block_q=block_q)
+    return out, (q, k, v, bias)
+
+
+def _pallas_attention_bwd(block_q, residuals, do):
+    q, k, v, bias = residuals
+    dq, dk, dv = _pallas_bwd(q, k, v, bias, do)
+    return dq, dk, dv, None
+
+
+_pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
+def pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     key_valid: Optional[jnp.ndarray] = None,
+                     block_q: int = 128) -> jnp.ndarray:
+    """Fused TPU attention. q,k,v: [B, N, H, D]; key_valid: [B, N] bool."""
+    B, N, H, D = q.shape
+    Np = _round_up(N, block_q)
+    qt = _pad_tokens(q.transpose(0, 2, 1, 3), Np)
+    kt = _pad_tokens(k.transpose(0, 2, 1, 3), Np)
+    vt = _pad_tokens(v.transpose(0, 2, 1, 3), Np)
+    bias = _bias_from_valid(key_valid, B, N, Np)
+    out = _pallas_attention(qt, kt, vt, bias, block_q)
+    return out[:, :, :N, :].transpose(0, 2, 1, 3)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              key_valid: Optional[jnp.ndarray] = None,
+              impl: str = "auto") -> jnp.ndarray:
+    """Dispatch: 'pallas' | 'xla' | 'auto' (pallas on TPU, xla elsewhere)."""
+    if impl == "auto":
+        impl = "pallas" if (_HAS_PLTPU and jax.default_backend() == "tpu") else "xla"
+    if impl == "pallas":
+        return pallas_attention(q, k, v, key_valid)
+    return xla_attention(q, k, v, key_valid)

@@ -1,0 +1,2 @@
+from avsiam_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
+                                      make_mesh, param_shardings, replicated)

@@ -1,0 +1,83 @@
+"""Benchmark: pretrain clips/sec/chip on the available accelerator.
+
+Runs the full ViT-B two-pass pretrain step (contrastive mmixed + MAE, the
+reference's per-step work unit, traintest_cavmae_base.py:131-152) in bf16 on
+synthetic batches and reports sustained clips/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": "pretrain_clips_per_sec_per_chip", "value": N, "unit": "clips/s",
+   "vs_baseline": N}
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We use
+an analytic compute-bound estimate of the reference on A100:
+~470 GFLOP/clip for the two-pass step (both encoders + decoder, fwd+bwd at 3x
+fwd) at ~40% MFU of 312 TFLOP/s fp16 -> ~180 clips/s/A100. The north star is
+>=4x that (BASELINE.json); vs_baseline reports our measured value / 180.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REF_A100_CLIPS_PER_SEC_EST = 180.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from avsiam_tpu.configs import (CAVMAEConfig, OptimizerConfig,
+                                    PretrainConfig)
+    from avsiam_tpu.models import CAVMAEPretrain
+    from avsiam_tpu.train.pretrain import init_state, make_pretrain_step
+
+    backend = jax.default_backend()
+    n_chips = jax.device_count()
+    B = int(__import__("os").environ.get("BENCH_BATCH", "16"))
+
+    model_cfg = CAVMAEConfig(dtype=jnp.bfloat16)
+    cfg = PretrainConfig(model=model_cfg, opt=OptimizerConfig(lr=2e-4),
+                         batch_size=B)
+    model = CAVMAEPretrain(model_cfg)
+
+    rng = jax.random.PRNGKey(0)
+    vit = model_cfg.vit
+    a = jax.random.normal(rng, (B, vit.audio_length, vit.mel_bins),
+                          jnp.float32)
+    v = jax.random.normal(rng, (B, 3, vit.img_size, vit.img_size),
+                          jnp.float32)
+
+    state = init_state(rng, model, cfg, (a, v))
+    step_fn = make_pretrain_step(model, cfg)
+    lr = jnp.float32(2e-4)
+
+    # warmup + compile (fetch to host: through remote-execution tunnels,
+    # block_until_ready alone does not guarantee completion)
+    state, metrics = step_fn(state, (a, v), rng, lr)
+    float(jax.device_get(metrics["loss"]))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, (a, v), rng, lr)
+    # one final fetch forces the whole dependent chain of steps
+    float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = B * iters / dt
+    per_chip = clips_per_sec / max(1, n_chips)
+    print(json.dumps({
+        "metric": "pretrain_clips_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(per_chip / REF_A100_CLIPS_PER_SEC_EST, 3),
+        "batch": B,
+        "backend": backend,
+        "n_chips": n_chips,
+        "step_ms": round(1000 * dt / iters, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-host/multi-chip logic is exercised on CPU per SURVEY.md section 4
+(XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+
+import os
+
+# Tests always run on CPU with virtual devices (the real chip is reserved for
+# bench runs); override any externally-set platform (e.g. axon TPU tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A sitecustomize hook may have programmatically forced the TPU platform
+# (overriding the env var); backends initialize lazily, so resetting the
+# config here still wins as long as no devices have been touched yet.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,118 @@
+"""End-to-end smoke tests on tiny geometry (BASELINE.json config #1 shape)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avsiam_tpu.configs import CAVMAEConfig, CAVMAEFTConfig, ViTConfig, DecoderConfig
+from avsiam_tpu.models import CAVMAEPretrain, CAVMAEFinetune
+
+TINY_VIT = ViTConfig(dim=32, depth=2, num_heads=2, patch_size=16,
+                     img_size=64, audio_length=128, mel_bins=32)
+TINY_DEC = DecoderConfig(dim=16, depth=1, num_heads=2)
+
+
+def _batch(rng, vit, B=2, T=None):
+    ka, kv = jax.random.split(rng)
+    a = jax.random.normal(ka, (B, vit.audio_length, vit.mel_bins))
+    shape = ((B, 3, vit.img_size, vit.img_size)
+             if T is None else (B, T, 3, vit.img_size, vit.img_size))
+    v = jax.random.normal(kv, shape)
+    return a, v
+
+
+def test_pretrain_forward_losses_finite():
+    cfg = CAVMAEConfig(vit=TINY_VIT, decoder=TINY_DEC)
+    model = CAVMAEPretrain(cfg)
+    rng = jax.random.PRNGKey(0)
+    a, v = _batch(rng, TINY_VIT, B=6)
+    params = model.init({"params": rng, "mask": rng, "perm": rng}, a, v)
+    out = model.apply(params, a, v, 0.25, 0.25, 1.0, 1.0,
+                      rngs={"mask": jax.random.PRNGKey(1),
+                            "perm": jax.random.PRNGKey(2)})
+    loss, loss_mae, loss_mae_a, loss_mae_v, loss_c, mask_a, mask_v, c_acc = out
+    assert jnp.isfinite(loss)
+    assert jnp.isfinite(loss_c)
+    assert jnp.allclose(loss, loss_mae + loss_c, rtol=1e-5)
+    # masks: 75% removed
+    La = TINY_VIT.num_audio_tokens
+    Lv = TINY_VIT.num_video_tokens
+    assert mask_a.shape == (6, La)
+    assert int(mask_a[0].sum()) == La - int(La * 0.25)
+    assert int(mask_v[0].sum()) == Lv - int(Lv * 0.25)
+
+
+def test_pretrain_mmixed_exact_matches_padded_shapes():
+    for impl in ("exact", "padded"):
+        cfg = CAVMAEConfig(vit=TINY_VIT, decoder=TINY_DEC, mmixed_impl=impl)
+        model = CAVMAEPretrain(cfg)
+        rng = jax.random.PRNGKey(0)
+        a, v = _batch(rng, TINY_VIT, B=6)
+        params = model.init({"params": rng, "mask": rng, "perm": rng}, a, v,
+                            mae_loss_weight=0.0, contrast_loss_weight=1.0)
+        out = model.apply(params, a, v, 0.25, 0.25, 0.0, 1.0,
+                          rngs={"mask": jax.random.PRNGKey(1),
+                                "perm": jax.random.PRNGKey(2)})
+        assert jnp.isfinite(out[4])
+
+
+def test_pretrain_grads_flow():
+    cfg = CAVMAEConfig(vit=TINY_VIT, decoder=TINY_DEC)
+    model = CAVMAEPretrain(cfg)
+    rng = jax.random.PRNGKey(0)
+    a, v = _batch(rng, TINY_VIT, B=5)
+    params = model.init({"params": rng, "mask": rng, "perm": rng}, a, v)
+
+    def loss_fn(p):
+        out = model.apply(p, a, v, 0.25, 0.25, 1.0, 1.0,
+                          rngs={"mask": jax.random.PRNGKey(1),
+                                "perm": jax.random.PRNGKey(2)})
+        return out[0]
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(jnp.all(jnp.isfinite(g)) for g in leaves)
+    # decoder gets gradient from the MAE loss
+    gd = grads["params"]["decoder"]["pred_a"]["kernel"]
+    assert float(jnp.abs(gd).max()) > 0
+
+
+@pytest.mark.parametrize("mode,is_eval,expected_rank", [
+    ("audioonly", False, 2),
+    ("audioonly", True, 3),
+    ("videoonly", False, 2),
+    ("mm_grad", False, None),
+    ("mm_grad", True, 3),
+    ("joint_av", False, 2),
+])
+def test_finetune_modes(mode, is_eval, expected_rank):
+    cfg = CAVMAEFTConfig(vit=TINY_VIT, label_dim=7)
+    model = CAVMAEFinetune(cfg)
+    rng = jax.random.PRNGKey(0)
+    T = 3 if is_eval else 1
+    a, v = _batch(rng, TINY_VIT, B=2, T=T)
+    params = model.init(rng, a, v, mode, is_eval)
+    out = model.apply(params, a, v, mode, is_eval)
+    if mode == "mm_grad" and not is_eval:
+        assert len(out) == 3
+        assert out[0].shape == (2, 7)
+    elif is_eval and mode == "mm_grad":
+        assert out.shape == (2, T, 7)
+    elif is_eval and mode == "audioonly":
+        assert out.shape == (2, 1, 7)
+    else:
+        assert out.shape == (2, 7)
+
+
+def test_finetune_retrieval_mode():
+    vit = dataclasses.replace(TINY_VIT)
+    cfg = CAVMAEFTConfig(vit=vit, label_dim=7)
+    model = CAVMAEFinetune(cfg)
+    rng = jax.random.PRNGKey(0)
+    a, v = _batch(rng, vit, B=2, T=6)
+    params = model.init(rng, a, v, "retrieval")
+    a_tok, v_tok = model.apply(params, a, v, "retrieval")
+    assert a_tok.shape == (2, vit.num_audio_tokens, vit.dim)
+    assert v_tok.shape == (2, vit.num_video_tokens, vit.dim)
