@@ -125,8 +125,13 @@ def _bias_from_valid(key_valid: Optional[jnp.ndarray], B: int, N: int,
     return jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
 
 
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (enables CPU testing)."""
+    return jax.default_backend() != "tpu"
+
+
 def _pallas_fwd(q, k, v, bias, *, block_q: int):
-    # q,k,v: [B, H, Np, D]; bias: [B, Np]
+    # q,k,v: [B, H, Np, D]; bias: [B, 1, Np]
     B, H, Np, D = q.shape
     scale = D ** -0.5
     grid = (B, H, Np // block_q)
@@ -151,6 +156,7 @@ def _pallas_fwd(q, k, v, bias, *, block_q: int):
             bytes_accessed=(3 * B * H * Np * D + B * H * Np * D) * q.dtype.itemsize,
             transcendentals=B * H * Np * Np,
         ),
+        interpret=_interpret(),
     )(q, k, v, bias)
 
 
@@ -170,6 +176,7 @@ def _pallas_bwd(q, k, v, bias, do):
         out_specs=(full, full, full),
         out_shape=tuple(jax.ShapeDtypeStruct((B, H, Np, D), q.dtype)
                         for _ in range(3)),
+        interpret=_interpret(),
     )(q, k, v, bias, do)
 
 
