@@ -1,0 +1,222 @@
+"""Audio-visual dataset: host raw loading + fused on-device batch transforms.
+
+Split of responsibilities (TPU-first, unlike the reference's per-worker CPU
+transform pipeline in src/dataloader.py __getitem__):
+
+* HOST (this module's AVDataset): index lookup, WAV read + mean-center +
+  length-fit, frame bytes (pre-extracted JPEG / ffmpeg decode / synthetic),
+  multi-hot labels. Output: fixed-shape NumPy arrays.
+* DEVICE (make_train_transform / make_eval_transform): everything math-heavy,
+  fused under one jit — Kaldi fbank, pad-to-1024, SpecAug, dataset
+  normalization, noise+roll, in-batch mixup, image [0,1]-scale + bicubic
+  resize + ImageNet normalization. This is the reference's dataloader hot
+  path (its acknowledged bottleneck, SURVEY.md section 3.1) moved onto the
+  chip.
+
+Mixup note: the reference mixes each sample with a uniformly-random OTHER
+dataset sample (src/dataloader.py:373-437); the device fast path mixes with a
+random in-batch permutation — the standard approximation with the same
+marginal distribution over partners when batches are shuffled. Audio mixes
+with lam ~ Beta(10,10); images mix with an independent U[0,1) weight; labels
+mix with the audio lam (dataloader.py:417-418,429-434).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsiam_tpu.configs import AudioConfig
+from avsiam_tpu.data import media
+from avsiam_tpu.data.indices import (SampleIndex, make_index_dict,
+                                     multihot_labels, open_index)
+from avsiam_tpu.ops import augment as aug
+from avsiam_tpu.ops.fbank import kaldi_fbank, pad_or_crop_frames
+
+
+@dataclass
+class AVSample:
+    waveform: np.ndarray  # [num_samples] float32, mean-centered
+    frames: np.ndarray  # uint8 [T, H, W, 3]
+    labels: np.ndarray  # [n_class] float32
+
+
+class AVDataset:
+    """Host-side dataset over a SampleIndex.
+
+    frame_source: 'frames' (pre-extracted frame_{i}/{id}.jpg layout),
+    'video' (ffmpeg decode), or 'synthetic' (deterministic pseudo-data for
+    tests/benches without media files).
+    """
+
+    def __init__(self, index_path: str, audio_conf: AudioConfig,
+                 label_csv: Optional[str] = None, n_class: int = 527,
+                 mode: str = "train", frame_source: str = "synthetic",
+                 num_frames: int = 10, im_res: int = 224,
+                 label_smooth: float = 0.0, frame_use: int = -1):
+        self.index: SampleIndex = open_index(index_path)
+        self.audio_conf = audio_conf
+        self.index_dict = make_index_dict(label_csv) if label_csv else {}
+        self.n_class = len(self.index_dict) or n_class
+        self.mode = mode
+        self.frame_source = frame_source
+        self.num_frames = num_frames
+        self.im_res = im_res
+        self.label_smooth = label_smooth
+        self.frame_use = frame_use
+        self.num_samples_audio = int(
+            audio_conf.sample_rate *
+            (audio_conf.target_length + 2) * audio_conf.frame_shift_ms / 1000.0)
+        # target_length frames need (target_length-1)*shift + window samples;
+        # 10.26 s covers 1024 frames at 10 ms shift / 25 ms window.
+
+    def __len__(self):
+        return len(self.index)
+
+    # ------------------------------------------------------------------
+    def _load_waveform(self, rec) -> np.ndarray:
+        if self.frame_source == "synthetic":
+            rng = np.random.RandomState(abs(hash(rec.wav)) % (2 ** 31))
+            w = rng.randn(self.num_samples_audio).astype(np.float32) * 0.05
+        else:
+            x, sr = media.read_wav(rec.wav)
+            x = media.to_mono(x)
+            if sr != self.audio_conf.sample_rate:
+                x = media.resample(x, sr, self.audio_conf.sample_rate)
+            w = x.astype(np.float32)
+        w = media.mean_center(w)
+        return media.fit_length(w, self.num_samples_audio)
+
+    def _load_frames(self, rec, rng: np.random.RandomState) -> np.ndarray:
+        T = self.num_frames
+        if self.frame_source == "synthetic":
+            r = np.random.RandomState(abs(hash(rec.wav + "v")) % (2 ** 31))
+            return r.randint(0, 255, (T, self.im_res, self.im_res, 3),
+                             dtype=np.uint8)
+        if self.frame_source == "video":
+            return media.decode_video_frames(
+                rec.video_path or rec.wav, num_frames=T,
+                start_jitter=rng.randint(0, 6),
+                size=(self.im_res, self.im_res))
+        # 'frames': pre-extracted JPEG layout
+        frames = []
+        for t in range(T):
+            p = media.select_frame_with_walkdown(rec.video_path, rec.video_id, t)
+            img = media.load_image(p)
+            if img.shape[:2] != (self.im_res, self.im_res):
+                from PIL import Image
+                img = np.asarray(Image.fromarray(img).resize(
+                    (self.im_res, self.im_res), Image.BICUBIC))
+            frames.append(img)
+        return np.stack(frames)
+
+    def get(self, i: int, rng: np.random.RandomState) -> AVSample:
+        rec = self.index[i]
+        wav = self._load_waveform(rec)
+        frames = self._load_frames(rec, rng)
+        labels = multihot_labels(rec.labels, self.index_dict, self.n_class,
+                                 self.label_smooth)
+        return AVSample(wav, frames, labels)
+
+    def batch(self, indices, rng: np.random.RandomState,
+              frames_per_sample: int = 1):
+        """Assemble a host batch. frames_per_sample: 1 (random train frame) or
+        num_frames (eval). Returns (wav [B,n], frames u8 [B,T,H,W,3],
+        labels [B,C])."""
+        wavs, frames, labels = [], [], []
+        for i in indices:
+            s = self.get(int(i), rng)
+            if frames_per_sample == 1:
+                # random frame of 10 in train; middle/frame_use in eval
+                # (src/dataloader.py:347-356,468-471)
+                if self.mode == "train":
+                    t = rng.randint(0, self.num_frames)
+                else:
+                    t = (self.num_frames // 2 if self.frame_use < 0
+                         else self.frame_use)
+                f = s.frames[t: t + 1]
+            else:
+                f = s.frames[:frames_per_sample]
+            wavs.append(s.waveform)
+            frames.append(f)
+            labels.append(s.labels)
+        return (np.stack(wavs), np.stack(frames), np.stack(labels))
+
+
+# ----------------------------------------------------------------------
+# Device-side fused transforms
+# ----------------------------------------------------------------------
+
+def _images_from_u8(frames_u8: jnp.ndarray, im_res: int) -> jnp.ndarray:
+    """uint8 [B, T, H, W, 3] -> normalized float [B, T, 3, im_res, im_res]."""
+    x = frames_u8.astype(jnp.float32) / 255.0
+    B, T, H, W, _ = x.shape
+    if (H, W) != (im_res, im_res):
+        x = jax.image.resize(x, (B, T, im_res, im_res, 3), method="bicubic")
+    x = x.transpose(0, 1, 4, 2, 3)  # -> [B, T, 3, H, W]
+    return aug.normalize_image(x)
+
+
+def make_train_transform(cfg: AudioConfig, im_res: int = 224,
+                         single_frame: bool = True):
+    """jit fn(rng, wav [B,n], frames_u8 [B,T,H,W,3], labels [B,C]) ->
+    (fbank [B,1024,128], image, labels). Applies mixup (if cfg.mixup>0),
+    fbank, SpecAug, normalize, noise/roll."""
+
+    @jax.jit
+    def f(rng, wav, frames_u8, labels):
+        k_mix, k_coin, k_lam, k_imgw, k_spec, k_noise = jax.random.split(rng, 6)
+        B = wav.shape[0]
+        img = _images_from_u8(frames_u8, im_res)
+        if single_frame:
+            img = img[:, 0]
+        if cfg.mixup > 0:
+            perm = jax.random.permutation(k_mix, B)
+            coin = jax.random.uniform(k_coin, (B,)) < cfg.mixup
+            lam = jnp.where(coin, aug.mixup_lambda(k_lam, B), 1.0)
+            wav = aug.mixup_waveform(lam, wav, wav[perm])
+            w_img = jnp.where(coin, jax.random.uniform(k_imgw, (B,)), 1.0)
+            bshape = (B,) + (1,) * (img.ndim - 1)
+            img = (w_img.reshape(bshape) * img
+                   + (1.0 - w_img.reshape(bshape)) * img[perm])
+            lam_l = lam[:, None]
+            labels = lam_l * labels + (1.0 - lam_l) * labels[perm]
+        fb = kaldi_fbank(wav, sample_freq=float(cfg.sample_rate),
+                         num_mel_bins=cfg.num_mel_bins,
+                         frame_length_ms=cfg.frame_length_ms,
+                         frame_shift_ms=cfg.frame_shift_ms)
+        fb = pad_or_crop_frames(fb, cfg.target_length)
+        fb = aug.spec_augment(k_spec, fb, cfg.freqm, cfg.timem)
+        if not cfg.skip_norm:
+            fb = aug.normalize_fbank(fb, cfg.norm_mean, cfg.norm_std)
+        if cfg.noise:
+            fb = aug.noise_and_roll(k_noise, fb, cfg.target_length)
+        return fb, img, labels
+
+    return f
+
+
+def make_eval_transform(cfg: AudioConfig, im_res: int = 224,
+                        single_frame: bool = False):
+    """Eval: fbank + normalize only; all frames kept (multi-frame ensemble)."""
+
+    @jax.jit
+    def f(wav, frames_u8, labels):
+        img = _images_from_u8(frames_u8, im_res)
+        if single_frame:
+            img = img[:, 0]
+        fb = kaldi_fbank(wav, sample_freq=float(cfg.sample_rate),
+                         num_mel_bins=cfg.num_mel_bins,
+                         frame_length_ms=cfg.frame_length_ms,
+                         frame_shift_ms=cfg.frame_shift_ms)
+        fb = pad_or_crop_frames(fb, cfg.target_length)
+        if not cfg.skip_norm:
+            fb = aug.normalize_fbank(fb, cfg.norm_mean, cfg.norm_std)
+        return fb, img, labels
+
+    return f

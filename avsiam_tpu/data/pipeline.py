@@ -1,0 +1,81 @@
+"""Input pipeline: background-thread host loading + sharded device feeding.
+
+Replaces the reference's fork-per-worker torch DataLoader
+(traintest_cavmae_base.py:93-95, num_workers=6). Host batches are assembled on
+a thread pool, ``jax.device_put`` with the mesh 'data' sharding overlaps the
+H2D copy with device compute, and a small queue keeps the device fed
+(prefetch-to-device, per the scaling-book input-pipeline recipe).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class Prefetcher:
+    """Wrap a host-batch iterator; decode ahead on a thread and device_put."""
+
+    _DONE = object()
+
+    def __init__(self, it: Iterable, sharding=None, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._sharding = sharding
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in it:
+                    if self._sharding is not None:
+                        item = jax.tree_util.tree_map(
+                            lambda x: jax.device_put(x, self._sharding), item)
+                    self._q.put(item)
+            except BaseException as e:  # propagate to consumer
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def host_batches(dataset, index_batches, seed: int,
+                 frames_per_sample: int = 1) -> Iterator:
+    """Generator of host numpy batches from an AVDataset + list of index
+    arrays."""
+    rng = np.random.RandomState(seed)
+    for idx in index_batches:
+        yield dataset.batch(idx, rng, frames_per_sample=frames_per_sample)
+
+
+def device_loader(dataset, index_batches, transform: Callable,
+                  rng_key: jax.Array, seed: int = 0,
+                  frames_per_sample: int = 1, sharding=None,
+                  train: bool = True) -> Iterator:
+    """Full pipeline: host batches -> prefetch/H2D -> fused device transform.
+
+    Yields (fbank, image, labels) device arrays.
+    """
+    it = Prefetcher(host_batches(dataset, index_batches, seed,
+                                 frames_per_sample), sharding=sharding)
+    for i, (wav, frames, labels) in enumerate(it):
+        if train:
+            k = jax.random.fold_in(rng_key, i)
+            yield transform(k, wav, frames, labels)
+        else:
+            yield transform(wav, frames, labels)

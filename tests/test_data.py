@@ -1,0 +1,146 @@
+"""Data layer tests: index readers, samplers, WAV IO, fused device transforms,
+end-to-end pipeline on synthetic data."""
+
+import json
+import os
+import sqlite3
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from avsiam_tpu.configs import AudioConfig
+from avsiam_tpu.data import (AVDataset, JsonIndex, Prefetcher, SqliteIndex,
+                             batched, device_loader, eval_shard_indices,
+                             make_eval_transform, make_index_dict,
+                             make_train_transform, multihot_labels,
+                             shuffled_epoch_indices, weighted_indices)
+from avsiam_tpu.data.media import fit_length, mean_center, read_wav, resample
+
+
+@pytest.fixture
+def label_csv(tmp_path):
+    p = tmp_path / "labels.csv"
+    p.write_text("index,mid,display_name\n0,/m/0,zero\n1,/m/1,one\n2,/m/2,two\n")
+    return str(p)
+
+
+@pytest.fixture
+def json_index(tmp_path):
+    data = {"data": [
+        {"wav": f"/fake/{i}.wav", "labels": f"/m/{i % 3}",
+         "video_id": f"v{i}", "video_path": "/fake"} for i in range(10)]}
+    p = tmp_path / "idx.json"
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+def test_json_and_sqlite_index(tmp_path, json_index):
+    idx = JsonIndex(json_index)
+    assert len(idx) == 10
+    assert idx[3].wav == "/fake/3.wav"
+    db = tmp_path / "idx.sqlite.db"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE annos (id INTEGER, wav TEXT, labels TEXT)")
+    for i in range(7):
+        con.execute("INSERT INTO annos VALUES (?, ?, ?)",
+                    (i, f"/fake/{i}.wav", "/m/1"))
+    con.commit()
+    con.close()
+    sidx = SqliteIndex(str(db))
+    assert len(sidx) == 7
+    assert sidx[2].wav == "/fake/2.wav"
+    assert sidx[2].labels == "/m/1"
+
+
+def test_labels_multihot(label_csv):
+    d = make_index_dict(label_csv)
+    y = multihot_labels("/m/0,/m/2", d, 3, label_smooth=0.1)
+    np.testing.assert_allclose(y, [0.9, 0.1 / 3, 0.9], atol=1e-6)
+
+
+def test_eval_shard_indices_pad_and_trim():
+    # n=10, world=4 -> per_rank 3, pad with last index
+    all_idx = np.concatenate([eval_shard_indices(10, 4, r) for r in range(4)])
+    assert len(all_idx) == 12
+    np.testing.assert_array_equal(all_idx[:10], np.arange(10))
+    np.testing.assert_array_equal(all_idx[10:], [9, 9])
+
+
+def test_samplers():
+    idx = shuffled_epoch_indices(10, epoch=0, seed=1, world=4)
+    assert len(idx) == 12 and set(idx) == set(range(10))
+    assert not np.array_equal(
+        shuffled_epoch_indices(10, 0, 1, 1), shuffled_epoch_indices(10, 1, 1, 1))
+    w = weighted_indices(np.array([0.0, 0.0, 1.0]), 50, epoch=0)
+    assert (w == 2).all()
+    bs = batched(np.arange(10), 3)
+    assert [len(b) for b in bs] == [3, 3, 3]
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = tmp_path / "a.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+    y, sr2 = read_wav(str(p))
+    assert sr2 == sr and y.shape == (1, sr)
+    assert np.abs(y[0] - x).max() < 1e-3
+    z = resample(y[0], 16000, 8000)
+    assert len(z) == 8000
+    assert fit_length(np.ones(5, np.float32), 8).shape == (8,)
+    assert abs(mean_center(np.ones(10)).sum()) < 1e-6
+
+
+def test_synthetic_dataset_and_transforms(json_index, label_csv):
+    cfg = AudioConfig(freqm=8, timem=20, mixup=0.5, noise=True)
+    ds = AVDataset(json_index, cfg, label_csv=label_csv, mode="train",
+                   frame_source="synthetic", im_res=64)
+    rng = np.random.RandomState(0)
+    wav, frames, labels = ds.batch([0, 1, 2, 3], rng)
+    assert frames.shape == (4, 1, 64, 64, 3) and frames.dtype == np.uint8
+    assert labels.shape == (4, 3)
+    tr = make_train_transform(cfg, im_res=64)
+    fb, img, y = tr(jax.random.PRNGKey(0), wav, frames, labels)
+    assert fb.shape == (4, cfg.target_length, cfg.num_mel_bins)
+    assert img.shape == (4, 3, 64, 64)
+    assert np.isfinite(np.asarray(fb)).all()
+    # mixed labels remain a convex combination
+    assert float(np.asarray(y).min()) >= 0.0
+
+    # eval: all 10 frames, no aug
+    wav, frames, labels = ds.batch([0, 1], rng, frames_per_sample=10)
+    ev = make_eval_transform(cfg, im_res=64)
+    fb, img, y = ev(wav, frames, labels)
+    assert img.shape == (2, 10, 3, 64, 64)
+
+
+def test_pipeline_end_to_end(json_index, label_csv):
+    cfg = AudioConfig()
+    ds = AVDataset(json_index, cfg, label_csv=label_csv, mode="train",
+                   frame_source="synthetic", im_res=32)
+    idx_batches = batched(shuffled_epoch_indices(len(ds), 0, 0), 4)
+    tr = make_train_transform(cfg, im_res=32)
+    n = 0
+    for fb, img, y in device_loader(ds, idx_batches, tr,
+                                    jax.random.PRNGKey(0)):
+        assert fb.shape[0] == 4
+        n += 1
+    assert n == 2
+
+
+def test_prefetcher_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = Prefetcher(gen())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
