@@ -144,6 +144,28 @@ class CAVMAEPretrain(nn.Module):
             c.vit.block_ln_eps, c.dtype, c.attn_impl, name="mm_layer_2")
         self.decoder = MAEDecoder(c, c.dtype, name="decoder")
 
+    def _materialize_all_params(self, audio, imgs):
+        """Touch every submodule once during init so the param tree is the
+        COMPLETE reference structure (the reference's ast_base is a full
+        deepcopy and every block carries all 3 norm sets, even where unused —
+        cav_mae_base.py:303,102-211). Runs only under ``init``; costs a few
+        1-token dummy calls."""
+        c = self.cfg
+        tok = jnp.zeros((1, 1, c.vit.dim), c.dtype)
+        dtok = jnp.zeros((1, 1, c.decoder.dim), c.dtype)
+        for blk in (*self.vit.blocks, *self.ast.blocks,
+                    self.mm_layer_1, self.mm_layer_2):
+            for m in (None, "a", "v"):
+                blk(tok, m)
+        for blk in self.decoder.blocks:
+            for m in (None, "a", "v"):
+                blk(dtok, m)
+        self.ast.embed_audio(audio[:1])
+        self.ast.embed_video(imgs[:1])
+        for trunk in (self.vit, self.ast):
+            trunk.norm(tok)
+            trunk.norm_a(tok)
+
     # ------------------------------------------------------------------
     # MAE encoder (cav_mae_base.py:441-504)
     # ------------------------------------------------------------------
@@ -302,6 +324,9 @@ class CAVMAEPretrain(nn.Module):
         zero = jnp.zeros((), jnp.float32)
         La = c.vit.num_audio_tokens
         Lv = c.vit.num_video_tokens
+
+        if self.is_initializing():
+            self._materialize_all_params(audio, imgs)
 
         if mae_loss_weight != 0:
             # ratios hard-coded 0.75 regardless of args (cav_mae_base.py:696)

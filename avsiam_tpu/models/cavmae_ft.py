@@ -98,8 +98,31 @@ class CAVMAEFinetune(nn.Module):
             [jnp.mean(av[:, :La], axis=1), jnp.mean(av[:, La:], axis=1)],
             axis=-1)
 
+    def _materialize_all_params(self):
+        """Touch unused-but-present reference params during init (all 3 norm
+        sets per block, the dead mlp_head_mm_v2 head — cav_mae_base.py:816)
+        so checkpoints carry the complete reference structure."""
+        c = self.cfg
+        tok = jnp.zeros((1, 1, c.vit.dim), c.dtype)
+        for blk in (*self.vit.blocks, self.mm_layer_1, self.mm_layer_2):
+            for m in (None, "a", "v"):
+                blk(tok, m)
+        for trunk_norm in (self.vit.norm, self.vit.norm_a):
+            trunk_norm(tok)
+        self.mlp_head_mm_v2(tok[:, 0])
+        # both patch embeds (a unimodal init mode would otherwise miss one)
+        self.vit.embed_audio(
+            jnp.zeros((1, c.vit.audio_length, c.vit.mel_bins), c.dtype))
+        self.vit.embed_video(
+            jnp.zeros((1, 3, c.vit.img_size, c.vit.img_size), c.dtype))
+        self.mlp_head(tok[:, 0])
+        self.mlp_head_a(tok[:, 0])
+        self.mlp_head_mm(jnp.zeros((1, 2 * c.vit.dim), c.dtype))
+
     # ------------------------------------------------------------------
     def __call__(self, a, v, mode: str, is_eval: bool = False):
+        if self.is_initializing():
+            self._materialize_all_params()
         if mode == "audioonly":
             x = jnp.mean(self.encode_audio(a), axis=1)
             out_a = self.mlp_head_a(x)

@@ -1,0 +1,88 @@
+"""Checkpoint save/restore via Orbax.
+
+TPU-native replacement for the reference's ``torch.save(state_dict)`` +
+non-strict reload scheme (traintest_cavmae_base.py:227-234,
+traintest_ft_base.py:253-264, run_cavmae_ft_base.py:243-258):
+
+* per-epoch + best checkpoints under ``{exp_dir}/models/``
+* cross-model reuse pretrain -> finetune via shared param subtree names
+  ('vit', 'mm_layer_*'), mirroring the reference's shared-name state_dict
+  reuse (traintest_cavmae_base.py:269-280)
+* checkpoint weight averaging across an epoch range (``wa_model``,
+  run_cavmae_ft_base.py:169-180)
+* torch .pth import lives in utils/torch_import.py
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import traverse_util
+
+
+def _path(exp_dir: str, name) -> str:
+    return os.path.join(os.path.abspath(exp_dir), "models", str(name))
+
+
+def save_params(exp_dir: str, name, params) -> str:
+    """Save a param tree (e.g. 'audio_model.3' for epoch 3, 'best_audio_model')."""
+    path = _path(exp_dir, name)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(params), force=True)
+    return path
+
+
+def restore_params(exp_dir: str, name, like=None):
+    path = _path(exp_dir, name)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                            jax.device_get(like))
+            return ckptr.restore(path, target)
+        return ckptr.restore(path)
+
+
+def average_checkpoints(exp_dir: str, start_epoch: int, end_epoch: int,
+                        like=None):
+    """Uniform weight averaging over epoch checkpoints [start, end].
+    Parity: wa_model (run_cavmae_ft_base.py:169-180)."""
+    acc = None
+    n = 0
+    for e in range(start_epoch, end_epoch + 1):
+        p = restore_params(exp_dir, f"audio_model.{e}", like=like)
+        flat = traverse_util.flatten_dict(p, sep="/")
+        if acc is None:
+            acc = {k: np.asarray(v, dtype=np.float64) for k, v in flat.items()}
+        else:
+            for k in acc:
+                acc[k] += np.asarray(flat[k], dtype=np.float64)
+        n += 1
+    assert n > 0
+    out = {k: (v / n).astype(np.float32) for k, v in acc.items()}
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
+def transfer_pretrain_to_ft(pretrain_params: Dict, ft_params: Dict,
+                            refresh_fusion: bool = True) -> Dict:
+    """Load pretraining weights into a finetune model.
+
+    Shared subtrees ('vit') transfer; then — like the reference's
+    ``__create_fusion__`` after loading (cav_mae_base.py:823-825) — the fusion
+    layers are re-copied from encoder blocks 10/11 of the TRANSFERRED trunk.
+    """
+    import copy as _copy
+    out = dict(ft_params)
+    out["vit"] = jax.tree_util.tree_map(lambda x: x, pretrain_params["vit"])
+    if refresh_fusion:
+        depth = max(int(k.split("_")[1]) for k in out["vit"]
+                    if k.startswith("blocks_")) + 1
+        out["mm_layer_1"] = _copy.deepcopy(out["vit"][f"blocks_{depth - 2}"])
+        out["mm_layer_2"] = _copy.deepcopy(out["vit"][f"blocks_{depth - 1}"])
+    elif "mm_layer_1" in pretrain_params:
+        out["mm_layer_1"] = pretrain_params["mm_layer_1"]
+        out["mm_layer_2"] = pretrain_params["mm_layer_2"]
+    return out
