@@ -1,0 +1,102 @@
+"""Shared CLI plumbing: argparse -> config dataclasses, dataset construction,
+arg dumps (args.json parity with run_cavmae_pretrain_base.py:205-208)."""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+from typing import Optional
+
+from avsiam_tpu.configs import AudioConfig, OptimizerConfig
+from avsiam_tpu.data.dataset import AVDataset
+
+
+def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
+    """Flag names mirror the reference runners (run_cavmae_pretrain_base.py:
+    47-105 uses dashed names; run_cavmae_ft_base.py:62-141 underscored).
+    Both spellings are accepted here."""
+    def arg(*names, **kw):
+        p.add_argument(*names, **kw)
+
+    sep = "_" if ft else "-"
+    arg(f"--data{sep}train", dest="data_train", type=str, default="")
+    arg(f"--data{sep}val", dest="data_val", type=str, default="")
+    arg(f"--data{sep}eval", dest="data_eval", type=str, default=None)
+    arg(f"--label{sep}csv", dest="label_csv", type=str, default=None)
+    arg("--n_class", type=int, default=527)
+    arg("--model", type=str, default="cav-mae-base")
+    arg("--dataset", type=str, default="audioset")
+    arg("--dataset_mean", type=float, default=-5.081)
+    arg("--dataset_std", type=float, default=4.4849)
+    arg("--target_length", type=int, default=1024)
+    arg("--noise", type=ast.literal_eval, default=False)
+    arg(f"--exp{sep}dir", dest="exp_dir", type=str, default="./exp")
+    arg("--lr", "--learning-rate", dest="lr", type=float, default=1e-4)
+    arg("-b", "--batch-size", "--batch_size", dest="batch_size", type=int,
+        default=12)
+    arg("-w", "--num_workers", type=int, default=2)
+    arg("--n-epochs", "--n_epochs", dest="n_epochs", type=int, default=10)
+    arg("--metrics", type=str, default="mAP", choices=["mAP", "acc"])
+    arg("--loss", type=str, default="BCE", choices=["BCE", "CE"])
+    arg("--lrscheduler_start", type=int, default=10)
+    arg("--lrscheduler_step", type=int, default=5)
+    arg("--lrscheduler_decay", type=float, default=0.5)
+    arg("--n-print-steps", "--n_print_steps", dest="n_print_steps", type=int,
+        default=100)
+    arg("--mixup", type=float, default=0.0)
+    arg("--bal", type=str, default=None)
+    arg("--freqm", type=int, default=0)
+    arg("--timem", type=int, default=0)
+    arg("--seed", type=int, default=87)
+    arg("--frame_source", type=str, default="frames",
+        choices=["frames", "video", "synthetic"])
+    arg("--max_steps_per_epoch", type=int, default=None,
+        help="cap steps per epoch (smoke runs)")
+    arg("--dtype", type=str, default="bfloat16",
+        choices=["bfloat16", "float32"])
+    arg("--attn_impl", type=str, default="auto",
+        choices=["auto", "pallas", "xla"])
+    return p
+
+
+def audio_config_from_args(args, train: bool,
+                           num_mel_bins: int = 128) -> AudioConfig:
+    return AudioConfig(
+        target_length=args.target_length, num_mel_bins=num_mel_bins,
+        norm_mean=args.dataset_mean, norm_std=args.dataset_std,
+        freqm=args.freqm if train else 0, timem=args.timem if train else 0,
+        mixup=args.mixup if train else 0.0,
+        noise=bool(args.noise) if train else False)
+
+
+def optimizer_from_args(args) -> OptimizerConfig:
+    return OptimizerConfig(
+        lr=args.lr, lrscheduler_start=args.lrscheduler_start,
+        lrscheduler_step=args.lrscheduler_step,
+        lrscheduler_decay=args.lrscheduler_decay)
+
+
+def dataset_from_args(args, path: str, train: bool, label_smooth: float = 0.0,
+                      num_mel_bins: int = 128, im_res: int = 224,
+                      num_frames: int = 10) -> AVDataset:
+    return AVDataset(path, audio_config_from_args(args, train, num_mel_bins),
+                     label_csv=args.label_csv, n_class=args.n_class,
+                     mode="train" if train else "eval",
+                     frame_source=args.frame_source, im_res=im_res,
+                     num_frames=num_frames,
+                     label_smooth=label_smooth if train else 0.0)
+
+
+def dump_args(args, exp_dir: str):
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "args.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()
+                   if isinstance(v, (int, float, str, bool, type(None)))},
+                  f, indent=1)
+
+
+def jnp_dtype(name: str):
+    import jax.numpy as jnp
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32

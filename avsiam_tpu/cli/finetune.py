@@ -1,0 +1,119 @@
+"""Finetuning runner. Parity surface: src/run_cavmae_ft_base.py.
+
+Example (smoke run on synthetic data):
+  python -m avsiam_tpu.cli.finetune --data_train idx.json --data_val idx.json \
+      --n_epochs 1 --batch_size 2 --frame_source synthetic \
+      --max_steps_per_epoch 2 --exp_dir ./exp/ft_smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import csv
+
+import numpy as np
+
+from avsiam_tpu.cli.common import (add_common_args, audio_config_from_args,
+                                   dataset_from_args, dump_args, jnp_dtype,
+                                   optimizer_from_args)
+from avsiam_tpu.configs import CAVMAEFTConfig, FinetuneConfig
+from avsiam_tpu.train.loops import run_finetune
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("avsiam-tpu finetune")
+    add_common_args(p, ft=True)
+    p.add_argument("--ftmode", type=str, default="mm_grad")
+    p.add_argument("--ftmode_test", type=str, default=None)
+    p.add_argument("--head_lr", type=float, default=50.0)
+    p.add_argument("--mm_lr", type=float, default=100.0)
+    p.add_argument("--freeze_base", type=ast.literal_eval, default=False)
+    p.add_argument("--label_smooth", type=float, default=0.1)
+    p.add_argument("--pretrain_path", type=str, default="None")
+    p.add_argument("--wa", type=ast.literal_eval, default=False)
+    p.add_argument("--wa_start", type=int, default=1)
+    p.add_argument("--wa_end", type=int, default=10)
+    p.add_argument("--weight_file", type=str, default=None,
+                   help="CSV of per-sample balance weights (with --bal)")
+    return p
+
+
+def _load_init_params(args, cfg: FinetuneConfig):
+    """Load a pretraining checkpoint: torch .pth (reference format) or an
+    orbax dir saved by our pretrainer. Parity: run_cavmae_ft_base.py:243-258
+    (non-strict load through the DataParallel shim)."""
+    path = args.pretrain_path
+    if not path or path == "None":
+        return None
+    import jax
+    import jax.numpy as jnp
+    from avsiam_tpu.models import CAVMAEFinetune
+    from avsiam_tpu.train import finetune as ftmod
+    model = CAVMAEFinetune(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    a = jnp.zeros((1, cfg.model.vit.audio_length, cfg.model.vit.mel_bins))
+    v = jnp.zeros((1, 1, 3, cfg.model.vit.img_size, cfg.model.vit.img_size))
+    fresh = jax.jit(lambda r, a, v: model.init(r, a, v, cfg.ftmode, False))(
+        rng, a, v)["params"]
+    if path.endswith(".pth"):
+        from avsiam_tpu.utils.torch_import import (import_cavmae_ft,
+                                                   load_torch_checkpoint)
+        sd = load_torch_checkpoint(path)
+        params, missing, unused = import_cavmae_ft(
+            sd, jax.device_get(fresh), depth=cfg.model.vit.depth)
+        print(f"loaded {path}: {len(missing)} fresh-init params, "
+              f"{len(unused)} unused torch keys")
+        return params
+    from avsiam_tpu.utils.checkpoint import restore_params, \
+        transfer_pretrain_to_ft
+    import os
+    exp_dir, name = os.path.split(path.rstrip("/"))
+    exp_dir = os.path.dirname(exp_dir)  # strip 'models/'
+    pre = restore_params(exp_dir, name)
+    return transfer_pretrain_to_ft(pre, jax.device_get(fresh))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    dump_args(args, args.exp_dir)
+    from avsiam_tpu.configs import replace
+    from avsiam_tpu.models.variants import finetune_config
+    model_cfg = finetune_config(args.model, label_dim=args.n_class,
+                                dtype=jnp_dtype(args.dtype),
+                                attn_impl=args.attn_impl)
+    model_cfg = replace(model_cfg, vit=replace(
+        model_cfg.vit, audio_length=args.target_length))
+    mel = model_cfg.vit.mel_bins
+    cfg = FinetuneConfig(
+        model=model_cfg,
+        audio=audio_config_from_args(args, train=True, num_mel_bins=mel),
+        opt=optimizer_from_args(args), batch_size=args.batch_size,
+        n_epochs=args.n_epochs, head_lr=args.head_lr, mm_lr=args.mm_lr,
+        freeze_base=bool(args.freeze_base), ftmode=args.ftmode,
+        loss=args.loss, metrics=args.metrics, label_smooth=args.label_smooth,
+        n_print_steps=args.n_print_steps, seed=args.seed,
+        exp_dir=args.exp_dir)
+    nf = model_cfg.num_eval_frames
+    train_ds = dataset_from_args(args, args.data_train, train=True,
+                                 label_smooth=args.label_smooth,
+                                 num_mel_bins=mel,
+                                 im_res=model_cfg.vit.img_size, num_frames=nf)
+    val_ds = (dataset_from_args(args, args.data_val, train=False,
+                                num_mel_bins=mel,
+                                im_res=model_cfg.vit.img_size, num_frames=nf)
+              if args.data_val else None)
+    weights = None
+    if args.bal and args.weight_file:
+        weights = np.loadtxt(args.weight_file, delimiter=",")
+    init_params = _load_init_params(args, cfg)
+    out = run_finetune(cfg, train_ds, val_ds, init_params=init_params,
+                       balance_weights=weights, wa=bool(args.wa),
+                       wa_start=args.wa_start, wa_end=args.wa_end,
+                       max_steps_per_epoch=args.max_steps_per_epoch)
+    print("finetune done:", {k: out.get(k) for k in ("best_epoch", "best")})
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Pretraining runner. Parity surface: src/run_cavmae_pretrain_base.py.
+
+Example (smoke run on synthetic data):
+  python -m avsiam_tpu.cli.pretrain --data-train idx.json --n-epochs 1 \
+      --batch-size 4 --frame_source synthetic --max_steps_per_epoch 2 \
+      --exp-dir ./exp/smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+
+from avsiam_tpu.cli.common import (add_common_args, audio_config_from_args,
+                                   dataset_from_args, dump_args, jnp_dtype,
+                                   optimizer_from_args)
+from avsiam_tpu.configs import CAVMAEConfig, PretrainConfig
+from avsiam_tpu.train.loops import run_pretrain
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("avsiam-tpu pretrain")
+    add_common_args(p, ft=False)
+    p.add_argument("--contrast_loss_weight", type=float, default=0.01)
+    p.add_argument("--mae_loss_weight", type=float, default=3.0)
+    p.add_argument("--masking_ratio", type=float, default=0.75)
+    p.add_argument("--masking_ratio_a", type=float, default=0.75)
+    p.add_argument("--mask_mode", type=str, default="unstructured",
+                   choices=["unstructured", "time", "freq", "tf"])
+    p.add_argument("--mmixed_impl", type=str, default="padded",
+                   choices=["padded", "exact"])
+    p.add_argument("--pretrain_path", type=str, default="None")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    dump_args(args, args.exp_dir)
+    from avsiam_tpu.configs import replace
+    from avsiam_tpu.models.variants import pretrain_config
+    model_cfg = pretrain_config(args.model, dtype=jnp_dtype(args.dtype),
+                                attn_impl=args.attn_impl,
+                                mmixed_impl=args.mmixed_impl)
+    # the audio token grid follows --target_length (reference fixes 1024)
+    model_cfg = replace(model_cfg, vit=replace(
+        model_cfg.vit, audio_length=args.target_length))
+    mel = model_cfg.vit.mel_bins
+    cfg = PretrainConfig(
+        model=model_cfg,
+        audio=audio_config_from_args(args, train=True, num_mel_bins=mel),
+        opt=optimizer_from_args(args), batch_size=args.batch_size,
+        n_epochs=args.n_epochs, masking_ratio=args.masking_ratio,
+        masking_ratio_a=args.masking_ratio_a, mask_mode=args.mask_mode,
+        contrast_loss_weight=args.contrast_loss_weight,
+        mae_loss_weight=args.mae_loss_weight,
+        n_print_steps=args.n_print_steps, seed=args.seed,
+        exp_dir=args.exp_dir)
+    train_ds = dataset_from_args(args, args.data_train, train=True,
+                                 num_mel_bins=mel,
+                                 im_res=model_cfg.vit.img_size)
+    val_ds = (dataset_from_args(args, args.data_val, train=False,
+                                num_mel_bins=mel,
+                                im_res=model_cfg.vit.img_size)
+              if args.data_val else None)
+    out = run_pretrain(cfg, train_ds, val_ds,
+                       max_steps_per_epoch=args.max_steps_per_epoch)
+    print("pretrain done:", {k: out[k] for k in ("best_epoch",)
+                             if k in out})
+    return out
+
+
+if __name__ == "__main__":
+    main()

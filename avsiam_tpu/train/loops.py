@@ -1,0 +1,335 @@
+"""Epoch-level training/eval orchestration.
+
+Parity targets:
+* ``run_pretrain`` — traintest_cavmae_base.py:29-264: per-step two-pass
+  update, loss meters + per-sample timing, NaN-divergence abort, per-epoch
+  validation, per-epoch + best checkpoints, result.csv, optional linear probe.
+* ``run_finetune`` — traintest_ft_base.py:29-290: stochastic-routing step,
+  per-epoch validation (mAP or acc), best checkpoint, early stop after 3
+  non-improving epochs, per-epoch stats pickle, optional end-of-run weight
+  averaging (wa).
+* ``validate_ft`` — traintest_ft_base.py:292-352 + validate_mlp
+  (traintest_cavmae_base.py:426-492): eval-mode multi-frame forward ->
+  sigmoid -> frame-mean -> calculate_stats.
+* ``linear_probe`` — traintest_cavmae_base.py:266-378: fresh finetune model
+  from the pretrain checkpoint, frozen base (base lr 5e-5, head lr 5e-3),
+  5 epochs of 'joint_av', mAP/AUC for joint_av / audioonly / videoonly.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import pickle
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsiam_tpu.configs import FinetuneConfig, PretrainConfig, replace
+from avsiam_tpu.data.dataset import (AVDataset, make_eval_transform,
+                                     make_train_transform)
+from avsiam_tpu.data.pipeline import device_loader
+from avsiam_tpu.data.samplers import batched, eval_shard_indices, \
+    shuffled_epoch_indices, weighted_indices
+from avsiam_tpu.eval.metrics import AverageMeter, calculate_stats, mean_ap, \
+    mean_auc
+from avsiam_tpu.models.cavmae import CAVMAEPretrain
+from avsiam_tpu.models.cavmae_ft import CAVMAEFinetune
+from avsiam_tpu.train import finetune as ft
+from avsiam_tpu.train import pretrain as pt
+from avsiam_tpu.utils.checkpoint import (average_checkpoints, restore_params,
+                                         save_params, transfer_pretrain_to_ft)
+
+
+def _fetch(metrics: Dict) -> Dict[str, float]:
+    return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+
+def _epoch_loader(ds: AVDataset, cfg_batch: int, epoch: int, seed: int,
+                  transform, rng, weights=None, frames_per_sample: int = 1,
+                  sharding=None, train: bool = True):
+    n = len(ds)
+    if train:
+        if weights is not None:
+            idx = weighted_indices(weights, n, epoch, seed)
+        else:
+            idx = shuffled_epoch_indices(n, epoch, seed)
+    else:
+        idx = eval_shard_indices(n, 1, 0)
+    return device_loader(ds, batched(idx, cfg_batch, drop_last=train),
+                         transform, rng, seed=seed + epoch,
+                         frames_per_sample=frames_per_sample,
+                         sharding=sharding, train=train)
+
+
+# ---------------------------------------------------------------------------
+# Pretraining
+# ---------------------------------------------------------------------------
+
+def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
+                 val_ds: Optional[AVDataset] = None,
+                 sharding=None, max_steps_per_epoch: Optional[int] = None,
+                 log: Callable = print) -> Dict:
+    model = CAVMAEPretrain(cfg.model)
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = train_ds.batch([0, 1], np.random.RandomState(0))
+    transform = make_train_transform(cfg.audio, im_res=cfg.model.vit.img_size)
+    fb, img, _ = transform(rng, *sample)
+    state = pt.init_state(rng, model, cfg, (fb[:2], img[:2]))
+    step_fn = pt.make_pretrain_step(model, cfg)
+    eval_fn = pt.make_eval_step(model, cfg)
+
+    os.makedirs(os.path.join(cfg.exp_dir, "models"), exist_ok=True)
+    result_rows: List[Dict] = []
+    best_loss, best_epoch = np.inf, 0
+    meters = {k: AverageMeter() for k in
+              ("loss", "loss_mae_a", "loss_mae_v", "loss_c", "per_sample_time",
+               "per_sample_data_time", "per_sample_dnn_time")}
+    global_step = 0
+
+    for epoch in range(1, cfg.n_epochs + 1):
+        lr = pt.lr_for_epoch(cfg, epoch)
+        loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
+                               transform, jax.random.fold_in(rng, epoch),
+                               sharding=sharding)
+        end_time = time.time()
+        for i, (a, v, _) in enumerate(loader):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            B = a.shape[0]
+            data_t = time.time() - end_time
+            state, metrics = step_fn(state, (a, v), rng, jnp.float32(lr))
+            if (global_step % cfg.n_print_steps == 0) or i == 0:
+                m = _fetch(metrics)  # forces the chain; honest timing point
+                step_t = time.time() - end_time
+                for k in ("loss", "loss_mae_a", "loss_mae_v", "loss_c"):
+                    meters[k].update(m[k], B)
+                meters["per_sample_time"].update(step_t / B)
+                meters["per_sample_data_time"].update(data_t / B)
+                meters["per_sample_dnn_time"].update((step_t - data_t) / B)
+                log(f"Epoch [{epoch}][{i}] loss {m['loss']:.4f} "
+                    f"mae_a {m['loss_mae_a']:.4f} mae_v {m['loss_mae_v']:.4f} "
+                    f"c {m['loss_c']:.4f} c_acc {m['c_acc']:.3f} "
+                    f"t/sample {meters['per_sample_time'].avg * 1000:.1f}ms")
+                if np.isnan(m["loss"]):
+                    log("training diverged...")
+                    return {"diverged": True, "epoch": epoch}
+            global_step += 1
+            end_time = time.time()
+
+        row = {"epoch": epoch, "lr": lr,
+               **{k: meters[k].avg for k in
+                  ("loss", "loss_mae_a", "loss_mae_v", "loss_c")}}
+        if val_ds is not None:
+            row.update(validate_pretrain(eval_fn, state.params, val_ds, cfg,
+                                         sharding=sharding,
+                                         max_steps=max_steps_per_epoch))
+            log(f"Eval epoch {epoch}: " + json.dumps(
+                {k: round(v, 5) for k, v in row.items()}))
+            if row.get("eval_loss", np.inf) < best_loss:
+                best_loss, best_epoch = row["eval_loss"], epoch
+                save_params(cfg.exp_dir, "best_audio_model", state.params)
+        save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
+        result_rows.append(row)
+        _write_csv(os.path.join(cfg.exp_dir, "result.csv"), result_rows)
+
+    return {"state": state, "best_epoch": best_epoch, "rows": result_rows,
+            "model": model}
+
+
+def validate_pretrain(eval_fn, params, val_ds: AVDataset, cfg: PretrainConfig,
+                      sharding=None, max_steps: Optional[int] = None) -> Dict:
+    transform = make_eval_transform(cfg.audio, im_res=cfg.model.vit.img_size, single_frame=True)
+    loader = _epoch_loader(val_ds, cfg.batch_size, 0, cfg.seed, transform,
+                           jax.random.PRNGKey(0), sharding=sharding,
+                           train=False)
+    sums, n = {}, 0
+    for i, (a, v, _) in enumerate(loader):
+        if max_steps and i >= max_steps:
+            break
+        m = _fetch(eval_fn(params, (a, v), jax.random.PRNGKey(i)))
+        for k, val in m.items():
+            sums[k] = sums.get(k, 0.0) + val
+        n += 1
+    return {f"eval_{k}": v / max(n, 1) for k, v in sums.items()}
+
+
+# ---------------------------------------------------------------------------
+# Finetuning
+# ---------------------------------------------------------------------------
+
+def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
+                 val_ds: Optional[AVDataset] = None,
+                 init_params=None, balance_weights=None, sharding=None,
+                 max_steps_per_epoch: Optional[int] = None,
+                 wa: bool = False, wa_start: int = 1, wa_end: int = 5,
+                 log: Callable = print) -> Dict:
+    model = CAVMAEFinetune(cfg.model)
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = train_ds.batch([0, 1], np.random.RandomState(0))
+    transform = make_train_transform(cfg.audio, im_res=cfg.model.vit.img_size)
+    fb, img, y = transform(rng, *sample)
+    state = ft.init_state(rng, model, cfg, (fb[:2], img[:2, None], y[:2]))
+    if init_params is not None:
+        state = state._replace(params=init_params)
+    step_fn = ft.make_finetune_step(model, cfg)
+    eval_fn = ft.make_ft_eval_step(model, cfg)
+
+    os.makedirs(os.path.join(cfg.exp_dir, "models"), exist_ok=True)
+    best_metric, best_epoch, non_improving = -np.inf, 0, 0
+    rows: List[Dict] = []
+    global_step = 0
+    loss_meter = AverageMeter()
+
+    for epoch in range(1, cfg.n_epochs + 1):
+        lr = ft.lr_for_epoch(cfg, epoch)
+        loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
+                               transform, jax.random.fold_in(rng, epoch),
+                               weights=balance_weights, sharding=sharding)
+        for i, (a, v, y) in enumerate(loader):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            if v.ndim == 4:
+                v = v[:, None]
+            state, metrics = step_fn(state, (a, v, y), rng, jnp.float32(lr))
+            if global_step % cfg.n_print_steps == 0:
+                m = _fetch(metrics)
+                loss_meter.update(m["loss"], a.shape[0])
+                log(f"FT epoch [{epoch}][{i}] loss {m['loss']:.4f}")
+                if np.isnan(loss_meter.avg):
+                    log("training diverged...")
+                    return {"diverged": True, "epoch": epoch}
+            global_step += 1
+
+        row = {"epoch": epoch, "lr": lr, "train_loss": loss_meter.avg}
+        if val_ds is not None:
+            stats, val_loss = validate_ft(
+                eval_fn, state.params, val_ds, cfg, sharding=sharding,
+                max_steps=max_steps_per_epoch)
+            mAP, mAUC = mean_ap(stats), mean_auc(stats)
+            acc = stats[0]["acc"]
+            row.update({"mAP": mAP, "mAUC": mAUC, "acc": acc,
+                        "val_loss": val_loss})
+            metric = mAP if cfg.metrics == "mAP" else acc
+            log(f"FT eval epoch {epoch}: mAP {mAP:.4f} AUC {mAUC:.4f} "
+                f"acc {acc:.4f}")
+            with open(os.path.join(cfg.exp_dir, f"stats_{epoch}.pickle"),
+                      "wb") as f:
+                pickle.dump(stats, f)
+            if metric > best_metric:
+                best_metric, best_epoch, non_improving = metric, epoch, 0
+                save_params(cfg.exp_dir, "best_audio_model", state.params)
+            else:
+                non_improving += 1
+        save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
+        rows.append(row)
+        _write_csv(os.path.join(cfg.exp_dir, "result.csv"), rows)
+        if non_improving >= 3:  # traintest_ft_base.py:249-251
+            log("early stop")
+            break
+
+    out = {"state": state, "best_epoch": best_epoch, "best": best_metric,
+           "rows": rows, "model": model}
+    if wa:
+        end = min(wa_end, len(rows))
+        out["wa_params"] = average_checkpoints(cfg.exp_dir, wa_start, end,
+                                               like=state.params)
+    return out
+
+
+def validate_ft(eval_fn, params, val_ds: AVDataset, cfg: FinetuneConfig,
+                sharding=None, max_steps: Optional[int] = None):
+    """Eval loop: multi-frame forward -> sigmoid -> frame mean ->
+    calculate_stats (traintest_ft_base.py:292-352)."""
+    transform = make_eval_transform(cfg.audio, im_res=cfg.model.vit.img_size)
+    frames = cfg.model.num_eval_frames
+    loader = _epoch_loader(val_ds, cfg.batch_size, 0, cfg.seed, transform,
+                           jax.random.PRNGKey(0), frames_per_sample=frames,
+                           sharding=sharding, train=False)
+    preds, targets, losses = [], [], []
+    loss_fn = ft.loss_fn_for(cfg)
+    for i, (a, v, y) in enumerate(loader):
+        if max_steps and i >= max_steps:
+            break
+        logits = eval_fn(params, (a, v, y))
+        logits = jax.device_get(logits)
+        y = jax.device_get(y)
+        if logits.ndim == 3:  # [B, T, C] multi-frame
+            p = jax.nn.sigmoid(jnp.asarray(logits)).mean(axis=1)
+            losses.append(float(loss_fn(jnp.asarray(logits).mean(axis=1),
+                                        jnp.asarray(y))))
+        else:
+            p = jax.nn.sigmoid(jnp.asarray(logits))
+            losses.append(float(loss_fn(jnp.asarray(logits), jnp.asarray(y))))
+        preds.append(np.asarray(p, dtype=np.float32))
+        targets.append(np.asarray(y, dtype=np.float32))
+    output = np.concatenate(preds)[: len(val_ds)]
+    target = np.concatenate(targets)[: len(val_ds)]
+    stats = calculate_stats(output, target)
+    return stats, float(np.mean(losses))
+
+
+# ---------------------------------------------------------------------------
+# Linear probe (pretraining-time quality signal)
+# ---------------------------------------------------------------------------
+
+def linear_probe(pretrain_params, pre_cfg: PretrainConfig,
+                 probe_train_ds: AVDataset, probe_val_ds: AVDataset,
+                 n_class: int = 527, epochs: int = 5,
+                 max_steps_per_epoch: Optional[int] = None,
+                 log: Callable = print) -> Dict:
+    """traintest_cavmae_base.py:266-378: fresh FT model from pretrain params,
+    frozen base, Adam(head 5e-3), 'joint_av' training, 3-mode eval."""
+    from avsiam_tpu.configs import CAVMAEFTConfig
+    ft_cfg = FinetuneConfig(
+        model=CAVMAEFTConfig(vit=pre_cfg.model.vit, label_dim=n_class,
+                             dtype=pre_cfg.model.dtype),
+        audio=replace(pre_cfg.audio, freqm=0, timem=0, mixup=0.0, noise=False),
+        opt=replace(pre_cfg.opt, lr=5e-5), head_lr=100.0, mm_lr=100.0,
+        freeze_base=True, ftmode="joint_av", batch_size=pre_cfg.batch_size,
+        n_epochs=epochs, exp_dir=os.path.join(pre_cfg.exp_dir, "probe"),
+        seed=pre_cfg.seed)
+    model = CAVMAEFinetune(ft_cfg.model)
+    rng = jax.random.PRNGKey(ft_cfg.seed)
+    sample = probe_train_ds.batch([0, 1], np.random.RandomState(0))
+    transform = make_train_transform(ft_cfg.audio, im_res=ft_cfg.model.vit.img_size)
+    fb, img, y = transform(rng, *sample)
+    state = ft.init_state(rng, model, ft_cfg, (fb[:2], img[:2, None], y[:2]))
+    state = state._replace(params=transfer_pretrain_to_ft(
+        jax.device_get(pretrain_params), jax.device_get(state.params)))
+    step_fn = ft.make_finetune_step(model, ft_cfg)
+
+    for epoch in range(1, epochs + 1):
+        loader = _epoch_loader(probe_train_ds, ft_cfg.batch_size, epoch,
+                               ft_cfg.seed, transform,
+                               jax.random.fold_in(rng, epoch))
+        for i, (a, v, y) in enumerate(loader):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            if v.ndim == 4:
+                v = v[:, None]
+            state, metrics = step_fn(state, (a, v, y), rng,
+                                     jnp.float32(ft_cfg.opt.lr))
+
+    results = {}
+    for mode in ("mm_grad", "audioonly", "videoonly"):
+        mode_cfg = replace(ft_cfg, ftmode=mode)
+        eval_fn = ft.make_ft_eval_step(model, mode_cfg)
+        stats, _ = validate_ft(eval_fn, state.params, probe_val_ds, mode_cfg,
+                               max_steps=max_steps_per_epoch)
+        results[f"{mode}_mAP"] = mean_ap(stats)
+        results[f"{mode}_AUC"] = mean_auc(stats)
+        log(f"linear probe {mode}: mAP {results[f'{mode}_mAP']:.4f}")
+    return results
+
+
+def _write_csv(path: str, rows: List[Dict]):
+    keys = sorted({k for r in rows for k in r})
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
