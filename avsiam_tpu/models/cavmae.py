@@ -297,6 +297,40 @@ class CAVMAEPretrain(nn.Module):
         return ca, cv
 
     # ------------------------------------------------------------------
+    # Feature extraction / inpainting (original-CAVMAE parity: the bytecode
+    # variants expose forward_feat and forward_inpaint, SURVEY.md section 0;
+    # retrieval.py:76 consumes forward_feat)
+    # ------------------------------------------------------------------
+    def forward_feat(self, audio, imgs):
+        """Unmasked per-modality token features via the siamese trunk."""
+        a = self.vit.embed_audio(audio)
+        v = self.vit.embed_video(imgs)
+        a = self.vit.run_blocks(a, "a")
+        v = self.vit.run_blocks(v, "v")
+        return self.vit.norm_a(a), self.vit.norm(v)
+
+    def forward_inpaint(self, audio, imgs, mask_ratio_a: float = 0.75,
+                        mask_ratio_v: float = 0.75):
+        """MAE reconstruction: returns (pred_audio_img [B,1,F,T_img],
+        pred_video [B,3,H,W], mask_a, mask_v) with predictions unpatchified
+        to input space."""
+        from avsiam_tpu.ops.patchify import unpatchify
+        c = self.cfg
+        x, mask_a, ids_ra, mask_v, ids_rv = self.forward_encoder(
+            audio, imgs, mask_ratio_a, mask_ratio_v)
+        x = self.mm_layer_1(x, "a")
+        x = self.mm_layer_2(x, "a")
+        len_keep_a = mk.len_keep_for(c.vit.num_audio_tokens, mask_ratio_a)
+        len_keep_v = mk.len_keep_for(c.vit.num_video_tokens, mask_ratio_v)
+        pred_a, pred_v = self.decoder(x, ids_ra, ids_rv,
+                                      len_keep_a, len_keep_v)
+        f, t = c.vit.audio_grid
+        gh, gw = c.vit.video_grid
+        img_a = unpatchify(pred_a, 1, f, t, c.vit.patch_size)
+        img_v = unpatchify(pred_v, 3, gh, gw, c.vit.patch_size)
+        return img_a, img_v, mask_a, mask_v
+
+    # ------------------------------------------------------------------
     # MAE loss (cav_mae_base.py:663-683)
     # ------------------------------------------------------------------
     def forward_mae_loss(self, inputs, pred, mask, modality: str):

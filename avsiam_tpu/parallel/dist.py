@@ -1,0 +1,83 @@
+"""Multi-host distributed runtime helpers.
+
+TPU-native replacement for the reference's NCCL plumbing
+(src/utils.py:250-299 ``init_distributed_mode`` env-var rendezvous +
+rank-0-only printing; src/traintest_ft_base.py:22-27 ``distributed_concat``).
+
+On TPU pods: ``jax.distributed.initialize()`` discovers the topology from the
+TPU environment (no MASTER_ADDR/RANK env protocol needed); per-host input
+pipelines feed globally-sharded arrays; ordered eval gather is
+``multihost_utils.process_allgather`` + trim.
+"""
+
+from __future__ import annotations
+
+import builtins
+import functools
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> dict:
+    """Initialize JAX multi-process runtime when running on >1 host.
+
+    Parity surface: utils.py:283-297 (NCCL init_process_group + barrier).
+    On single-host (or when already initialized) this is a no-op.
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return {"process_index": jax.process_index(),
+            "process_count": jax.process_count(),
+            "local_devices": jax.local_device_count(),
+            "global_devices": jax.device_count()}
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def setup_rank0_printing(force: bool = False):
+    """Rank-0-only printing via a builtins.print wrap (utils.py:206-218).
+    Pass force=True on any rank to keep printing (the reference's
+    ``print(..., force=True)``)."""
+    if is_main_process():
+        return
+    builtin_print = builtins.print
+
+    def print_rank0(*args, **kwargs):
+        if kwargs.pop("force", False) or force:
+            builtin_print(*args, **kwargs)
+
+    builtins.print = print_rank0
+
+
+def gather_eval_outputs(local_array: np.ndarray, total: int) -> np.ndarray:
+    """Ordered cross-host gather + trim for evaluation.
+
+    Parity: SequentialDistributedSampler (seq_dataloader.py:28-37) feeds each
+    rank a contiguous padded slab; ``distributed_concat``
+    (traintest_ft_base.py:22-27) all-gathers and truncates to the true
+    dataset size. Ranks are concatenated in process order, so the contiguous
+    slabs restore dataset order.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(local_array)[:total]
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(np.asarray(local_array))
+    return gathered.reshape((-1,) + gathered.shape[2:])[:total]
+
+
+def barrier(name: str = "barrier"):
+    """Cross-host sync point (utils.py barrier parity)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)

@@ -1,0 +1,53 @@
+"""Tests for distributed helpers, logging, profiling utils."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from avsiam_tpu.parallel.dist import (barrier, gather_eval_outputs,
+                                      initialize_multihost, is_main_process)
+from avsiam_tpu.utils.logging import MetricsLogger
+from avsiam_tpu.utils.profiling import StepTimer, device_memory_stats
+
+
+def test_singlehost_dist_helpers():
+    info = initialize_multihost()
+    assert info["process_count"] == 1
+    assert is_main_process()
+    barrier()  # no-op single host
+    x = np.arange(12).reshape(6, 2)
+    out = gather_eval_outputs(x, total=5)
+    np.testing.assert_array_equal(out, x[:5])
+
+
+def test_metrics_logger(tmp_path):
+    lg = MetricsLogger(str(tmp_path), enable_wandb=False)
+    lg.log({"loss": 1.5}, step=1)
+    lg.log({"loss": 1.2}, step=2)
+    lg.close()
+    rows = [json.loads(l) for l in
+            open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert rows[0]["loss"] == 1.5 and rows[1]["step"] == 2
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.data_ready(4)
+    t.step_done(4)
+    s = t.summary()
+    assert s["per_sample_time"] >= s["per_sample_dnn_time"] >= 0
+
+
+def test_memory_stats_shape():
+    stats = device_memory_stats()
+    assert stats is None or "bytes_in_use" in stats
+
+
+def test_memory_probe_cli_tiny():
+    from avsiam_tpu.cli.memory_probe import main
+    out = main(["--model", "tiny", "--batch-size", "2", "--steps", "1",
+                "--dtype", "float32"])
+    assert out["params_million"] > 0
+    assert out["optimizer_state_million"] > 0
