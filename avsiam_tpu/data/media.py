@@ -26,8 +26,18 @@ import numpy as np
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """PCM WAV -> (float32 mono-ish [C, n] scaled to [-1, 1], sample_rate).
 
-    Matches torchaudio.load's scaling for PCM16/PCM32/PCM8.
+    Uses the native C++ parser (native/dsp.cpp) when built — the fast path
+    for the 1-core host loader — falling back to stdlib ``wave`` for
+    non-PCM16 widths or when the library is absent. Matches torchaudio.load's
+    scaling for PCM16/PCM32/PCM8.
     """
+    from avsiam_tpu.data import native_dsp
+    if native_dsp.available():
+        try:
+            mono, sr = native_dsp.read_wav_mono(path)
+            return mono[None, :], sr
+        except ValueError:
+            pass  # non-PCM16 -> stdlib path below
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
