@@ -37,6 +37,9 @@ class ViTConfig:
     block_ln_eps: float = 1e-5  # cav_mae_base.py:120 (torch nn.LayerNorm default)
     final_ln_eps: float = 1e-6  # timm ViT final norm eps
     qkv_bias: bool = True
+    # exact erf GELU (timm nn.GELU parity) vs tanh approximation (~4x cheaper
+    # on the VPU; negligible quality difference, breaks bit-parity)
+    gelu_approx: bool = False
 
     @property
     def video_grid(self) -> Tuple[int, int]:

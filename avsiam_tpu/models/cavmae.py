@@ -87,7 +87,8 @@ class MAEDecoder(nn.Module):
                                      jnp.float32)
         self.blocks = [
             ModalityBlock(d.dim, d.num_heads, d.mlp_ratio, True, d.ln_eps,
-                          self.dtype, c.attn_impl, name=f"blocks_{i}")
+                          self.dtype, c.attn_impl, c.vit.gelu_approx,
+                          name=f"blocks_{i}")
             for i in range(d.depth)
         ]
         self.norm = LayerNormFP32(epsilon=d.ln_eps, dtype=self.dtype,
@@ -138,10 +139,12 @@ class CAVMAEPretrain(nn.Module):
                               c.remat_blocks, name="ast")
         self.mm_layer_1 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
-            c.vit.block_ln_eps, c.dtype, c.attn_impl, name="mm_layer_1")
+            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
+            name="mm_layer_1")
         self.mm_layer_2 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
-            c.vit.block_ln_eps, c.dtype, c.attn_impl, name="mm_layer_2")
+            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
+            name="mm_layer_2")
         self.decoder = MAEDecoder(c, c.dtype, name="decoder")
 
     def _materialize_all_params(self, audio, imgs):

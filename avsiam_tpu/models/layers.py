@@ -49,17 +49,19 @@ class LayerNormFP32(nn.Module):
 
 
 class Mlp(nn.Module):
-    """timm Mlp parity: fc1 -> GELU (exact, erf) -> fc2."""
+    """timm Mlp parity: fc1 -> GELU (exact erf by default) -> fc2."""
 
     dim: int
     hidden_dim: int
     dtype: Dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)  # torch nn.GELU() is exact erf
+        # torch nn.GELU() is exact erf; tanh approximation available for perf
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dense(self.dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(x)
         return x
@@ -111,6 +113,7 @@ class ModalityBlock(nn.Module):
     ln_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    gelu_approx: bool = False
 
     def setup(self):
         mk = lambda name: LayerNormFP32(epsilon=self.ln_eps, dtype=self.dtype,
@@ -124,7 +127,7 @@ class ModalityBlock(nn.Module):
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.dtype, self.attn_impl, name="attn")
         self.mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
-                       name="mlp")
+                       self.gelu_approx, name="mlp")
 
     def __call__(self, x, modality: Optional[str] = None,
                  key_valid: Optional[jnp.ndarray] = None):
@@ -204,7 +207,7 @@ class SiameseViT(nn.Module):
         self.blocks = [
             block_cls(c.dim, c.num_heads, c.mlp_ratio, c.qkv_bias,
                       c.block_ln_eps, self.dtype, self.attn_impl,
-                      name=f"blocks_{i}")
+                      c.gelu_approx, name=f"blocks_{i}")
             for i in range(c.depth)
         ]
         self.norm = LayerNormFP32(epsilon=c.final_ln_eps, dtype=self.dtype,

@@ -34,9 +34,13 @@ def main():
 
     backend = jax.default_backend()
     n_chips = jax.device_count()
-    B = int(__import__("os").environ.get("BENCH_BATCH", "16"))
+    B = int(__import__("os").environ.get("BENCH_BATCH", "32"))
 
-    model_cfg = CAVMAEConfig(dtype=jnp.bfloat16)
+    # best measured single-chip parity configuration: Pallas fused attention
+    # (full-sequence q blocks) + exact chunked mmixed encoder (40% fewer
+    # pass-1 FLOPs than the padded multichip-friendly form)
+    model_cfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl="pallas",
+                             mmixed_impl="exact")
     cfg = PretrainConfig(model=model_cfg, opt=OptimizerConfig(lr=2e-4),
                          batch_size=B)
     model = CAVMAEPretrain(model_cfg)

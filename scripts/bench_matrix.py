@@ -1,0 +1,49 @@
+"""Benchmark one pretrain-step configuration on the current accelerator.
+
+Usage: python scripts/bench_matrix.py B ATTN MMIXED [ITERS]
+Prints one line: config + clips/s + ms/step.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from avsiam_tpu.configs import CAVMAEConfig, OptimizerConfig, PretrainConfig
+from avsiam_tpu.models import CAVMAEPretrain
+from avsiam_tpu.train.pretrain import init_state, make_pretrain_step
+
+
+def main():
+    B = int(sys.argv[1])
+    attn = sys.argv[2]
+    mmixed = sys.argv[3]
+    iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    remat = len(sys.argv) > 5 and sys.argv[5] == "remat"
+    mcfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl=attn,
+                        mmixed_impl=mmixed, remat_blocks=remat)
+    cfg = PretrainConfig(model=mcfg, opt=OptimizerConfig(), batch_size=B)
+    model = CAVMAEPretrain(mcfg)
+    rng = jax.random.PRNGKey(0)
+    a = jax.random.normal(rng, (B, 1024, 128), jnp.float32)
+    v = jax.random.normal(rng, (B, 3, 224, 224), jnp.float32)
+    t0 = time.perf_counter()
+    state = init_state(rng, model, cfg, (a, v))
+    step = make_pretrain_step(model, cfg)
+    lr = jnp.float32(2e-4)
+    state, m = step(state, (a, v), rng, lr)
+    float(jax.device_get(m["loss"]))
+    compile_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, (a, v), rng, lr)
+    float(jax.device_get(m["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"B={B:3d} attn={attn:6s} mmixed={mmixed:6s} remat={int(remat)}: "
+          f"{B / dt:7.1f} clips/s  {dt * 1000:7.1f} ms/step  "
+          f"(compile+init {compile_t:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()
