@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wa_end", type=int, default=10)
     p.add_argument("--weight_file", type=str, default=None,
                    help="CSV of per-sample balance weights (with --bal)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest train_state checkpoint")
     return p
 
 
@@ -110,6 +112,7 @@ def main(argv=None):
     out = run_finetune(cfg, train_ds, val_ds, init_params=init_params,
                        balance_weights=weights, wa=bool(args.wa),
                        wa_start=args.wa_start, wa_end=args.wa_end,
+                       resume=args.resume,
                        max_steps_per_epoch=args.max_steps_per_epoch)
     print("finetune done:", {k: out.get(k) for k in ("best_epoch", "best")})
     return out

@@ -30,6 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mmixed_impl", type=str, default="padded",
                    choices=["padded", "exact"])
     p.add_argument("--pretrain_path", type=str, default="None")
+    # linear-probe datasets (the reference builds separate AS-20K loaders,
+    # run_cavmae_pretrain_base.py:146-163)
+    p.add_argument("--probe_data_train", type=str, default=None)
+    p.add_argument("--probe_data_val", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest train_state checkpoint")
     return p
 
 
@@ -62,7 +68,17 @@ def main(argv=None):
                                 num_mel_bins=mel,
                                 im_res=model_cfg.vit.img_size)
               if args.data_val else None)
+    probe_train = (dataset_from_args(args, args.probe_data_train, train=True,
+                                     num_mel_bins=mel,
+                                     im_res=model_cfg.vit.img_size)
+                   if args.probe_data_train else None)
+    probe_val = (dataset_from_args(args, args.probe_data_val, train=False,
+                                   num_mel_bins=mel,
+                                   im_res=model_cfg.vit.img_size)
+                 if args.probe_data_val else None)
     out = run_pretrain(cfg, train_ds, val_ds,
+                       probe_train_ds=probe_train, probe_val_ds=probe_val,
+                       probe_n_class=args.n_class, resume=args.resume,
                        max_steps_per_epoch=args.max_steps_per_epoch)
     print("pretrain done:", {k: out[k] for k in ("best_epoch",)
                              if k in out})

@@ -193,6 +193,10 @@ class FinetuneConfig:
     mm_lr: float = 100.0  # lr multiplier for mm_layer* params
     freeze_base: bool = False
     ftmode: str = "mm_grad"
+    # torch-parity optimizer: per-leaf gated Adam reproducing
+    # find_unused_parameters skip semantics under stochastic loss routing
+    # (per-leaf step counts, frozen moments for untouched branches)
+    parity_optimizer: bool = False
     loss: str = "BCE"  # 'BCE' | 'CE'
     metrics: str = "mAP"  # 'mAP' | 'acc'
     label_smooth: float = 0.1

@@ -63,8 +63,12 @@ def init_state(rng: jax.Array, model: CAVMAEFinetune, cfg: FinetuneConfig,
     variables = jax.jit(
         lambda r, a, v: model.init(r, a, v, cfg.ftmode, False))(rng, a, v)
     params = variables["params"]
-    tx = make_optimizer(cfg)
-    return FinetuneState(params=params, opt=tx.init(params),
+    if cfg.parity_optimizer:
+        from avsiam_tpu.train import gated_adam
+        opt = gated_adam.init(params)
+    else:
+        opt = make_optimizer(cfg).init(params)
+    return FinetuneState(params=params, opt=opt,
                          step=jnp.zeros((), jnp.int32))
 
 
@@ -96,12 +100,27 @@ def make_finetune_step(model: CAVMAEFinetune, cfg: FinetuneConfig):
             return loss
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)
-        updates, opt = tx.update(grads, state.opt, state.params)
         lr_tree = pg.label_tree(
             state.params, lambda p: lr * mults[pg.ft_group(p)])
-        updates = jax.tree_util.tree_map(
-            lambda u, l: (-l * u).astype(u.dtype), updates, lr_tree)
-        params = optax.apply_updates(state.params, updates)
+        if cfg.parity_optimizer and cfg.ftmode == "mm_grad":
+            from avsiam_tpu.train import gated_adam
+            sel_av = prob > 0.5
+            sel_a = prob < 0.25
+            sel_v = jnp.logical_not(jnp.logical_or(sel_av, sel_a))
+            masks = {b: pg.mask_tree(state.params,
+                                     lambda p, b=b: pg.ft_touched(p, b))
+                     for b in ("av", "a", "v")}
+            gates = jax.tree_util.tree_map(
+                lambda m_av, m_a, m_v: ((sel_av & m_av) | (sel_a & m_a)
+                                        | (sel_v & m_v)),
+                masks["av"], masks["a"], masks["v"])
+            params, opt = gated_adam.update(cfg.opt, grads, state.opt,
+                                            state.params, gates, lr_tree)
+        else:
+            updates, opt = tx.update(grads, state.opt, state.params)
+            updates = jax.tree_util.tree_map(
+                lambda u, l: (-l * u).astype(u.dtype), updates, lr_tree)
+            params = optax.apply_updates(state.params, updates)
         new_state = FinetuneState(params=params, opt=opt, step=state.step + 1)
         return new_state, {"loss": loss}
 

@@ -72,14 +72,27 @@ def _epoch_loader(ds: AVDataset, cfg_batch: int, epoch: int, seed: int,
 
 def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
                  val_ds: Optional[AVDataset] = None,
+                 probe_train_ds: Optional[AVDataset] = None,
+                 probe_val_ds: Optional[AVDataset] = None,
+                 probe_n_class: int = 527,
                  sharding=None, max_steps_per_epoch: Optional[int] = None,
-                 log: Callable = print) -> Dict:
+                 resume: bool = False, log: Callable = print) -> Dict:
+    from avsiam_tpu.utils.checkpoint import (restore_train_state,
+                                             save_train_state)
     model = CAVMAEPretrain(cfg.model)
     rng = jax.random.PRNGKey(cfg.seed)
     sample = train_ds.batch([0, 1], np.random.RandomState(0))
     transform = make_train_transform(cfg.audio, im_res=cfg.model.vit.img_size)
     fb, img, _ = transform(rng, *sample)
     state = pt.init_state(rng, model, cfg, (fb[:2], img[:2]))
+    start_epoch = 1
+    if resume:
+        latest = _latest_train_state_epoch(cfg.exp_dir)
+        if latest is not None:
+            state = restore_train_state(cfg.exp_dir,
+                                        f"train_state.{latest}", state)
+            start_epoch = latest + 1
+            log(f"resumed from epoch {latest}")
     step_fn = pt.make_pretrain_step(model, cfg)
     eval_fn = pt.make_eval_step(model, cfg)
 
@@ -91,7 +104,7 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
                "per_sample_data_time", "per_sample_dnn_time")}
     global_step = 0
 
-    for epoch in range(1, cfg.n_epochs + 1):
+    for epoch in range(start_epoch, cfg.n_epochs + 1):
         lr = pt.lr_for_epoch(cfg, epoch)
         loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
                                transform, jax.random.fold_in(rng, epoch),
@@ -133,12 +146,29 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
             if row.get("eval_loss", np.inf) < best_loss:
                 best_loss, best_epoch = row["eval_loss"], epoch
                 save_params(cfg.exp_dir, "best_audio_model", state.params)
+        if probe_train_ds is not None and probe_val_ds is not None:
+            # per-epoch linear probe (traintest_cavmae_base.py:250-252)
+            probe = linear_probe(state.params, cfg, probe_train_ds,
+                                 probe_val_ds, n_class=probe_n_class,
+                                 max_steps_per_epoch=max_steps_per_epoch,
+                                 log=log)
+            row.update({f"probe_{k}": v for k, v in probe.items()})
         save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
+        save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         result_rows.append(row)
         _write_csv(os.path.join(cfg.exp_dir, "result.csv"), result_rows)
 
     return {"state": state, "best_epoch": best_epoch, "rows": result_rows,
             "model": model}
+
+
+def _latest_train_state_epoch(exp_dir: str) -> Optional[int]:
+    mdir = os.path.join(exp_dir, "models")
+    if not os.path.isdir(mdir):
+        return None
+    epochs = [int(n.split(".")[1]) for n in os.listdir(mdir)
+              if n.startswith("train_state.")]
+    return max(epochs) if epochs else None
 
 
 def validate_pretrain(eval_fn, params, val_ds: AVDataset, cfg: PretrainConfig,
@@ -167,7 +197,9 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
                  init_params=None, balance_weights=None, sharding=None,
                  max_steps_per_epoch: Optional[int] = None,
                  wa: bool = False, wa_start: int = 1, wa_end: int = 5,
-                 log: Callable = print) -> Dict:
+                 resume: bool = False, log: Callable = print) -> Dict:
+    from avsiam_tpu.utils.checkpoint import (restore_train_state,
+                                             save_train_state)
     model = CAVMAEFinetune(cfg.model)
     rng = jax.random.PRNGKey(cfg.seed)
     sample = train_ds.batch([0, 1], np.random.RandomState(0))
@@ -176,6 +208,14 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     state = ft.init_state(rng, model, cfg, (fb[:2], img[:2, None], y[:2]))
     if init_params is not None:
         state = state._replace(params=init_params)
+    start_epoch = 1
+    if resume:
+        latest = _latest_train_state_epoch(cfg.exp_dir)
+        if latest is not None:
+            state = restore_train_state(cfg.exp_dir,
+                                        f"train_state.{latest}", state)
+            start_epoch = latest + 1
+            log(f"resumed from epoch {latest}")
     step_fn = ft.make_finetune_step(model, cfg)
     eval_fn = ft.make_ft_eval_step(model, cfg)
 
@@ -185,7 +225,7 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     global_step = 0
     loss_meter = AverageMeter()
 
-    for epoch in range(1, cfg.n_epochs + 1):
+    for epoch in range(start_epoch, cfg.n_epochs + 1):
         lr = ft.lr_for_epoch(cfg, epoch)
         loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
                                transform, jax.random.fold_in(rng, epoch),
@@ -226,6 +266,7 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
             else:
                 non_improving += 1
         save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
+        save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         rows.append(row)
         _write_csv(os.path.join(cfg.exp_dir, "result.csv"), rows)
         if non_improving >= 3:  # traintest_ft_base.py:249-251

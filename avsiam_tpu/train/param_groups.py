@@ -63,6 +63,42 @@ def touched_mae(path: str) -> bool:
     return False
 
 
+def ft_touched(path: str, branch: str) -> bool:
+    """Finetune mm_grad touched sets per stochastic loss branch
+    (traintest_ft_base.py:149-157 under find_unused_parameters=True):
+    'av' -> fused path (both encoder routes + mm layers + mlp_head_mm),
+    'a' -> audio route + mlp_head_a, 'v' -> video route + mlp_head."""
+    if path.startswith("mlp_head_mm_v2"):
+        return False  # dead head, never in any loss graph
+    if path.startswith("mlp_head_mm"):
+        return branch == "av"
+    if path.startswith("mlp_head_a"):
+        return branch == "a"
+    if path.startswith("mlp_head/"):
+        return branch == "v"
+    if path.startswith("mm_layer"):
+        # mm layers run with 'a' norms (cav_mae_base.py:1020-1021)
+        return branch == "av" and not (_NORM_PLAIN.search(path)
+                                       or _NORM_V.search(path))
+    if path.startswith("vit/"):
+        audio_part = (path.startswith("vit/patch_embed_a/")
+                      or path == "vit/pos_embed_a"
+                      or path.startswith("vit/norm_a/")
+                      or bool(_NORM_A.search(path)))
+        video_part = (path.startswith("vit/patch_embed/")
+                      or path == "vit/pos_embed"
+                      or path.startswith("vit/norm/")
+                      or bool(_NORM_V.search(path)))
+        shared_norm = bool(_BLOCK_SHARED_NORM.search(path))
+        shared_weight = not (audio_part or video_part or shared_norm)
+        if branch == "av":
+            return not shared_norm
+        if branch == "a":
+            return audio_part or shared_weight
+        return video_part or shared_weight
+    return False
+
+
 def ft_group(path: str) -> str:
     """Finetune 3-group LR labeling (traintest_ft_base.py:50-83):
     'mlp' for mlp_head* params, 'mm' for mm_layer* params, 'base' otherwise.

@@ -66,6 +66,26 @@ def average_checkpoints(exp_dir: str, start_epoch: int, end_epoch: int,
     return traverse_util.unflatten_dict(out, sep="/")
 
 
+def save_train_state(exp_dir: str, name, state) -> str:
+    """Save a full train state (params + optimizer state(s) + step) for
+    resume. Parity: the reference keeps ``best_optim_state.pth`` next to the
+    model checkpoint (traintest_ft_base.py:256-258)."""
+    path = _path(exp_dir, name)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(dict(state._asdict())), force=True)
+    return path
+
+
+def restore_train_state(exp_dir: str, name, like):
+    """Restore into the structure of ``like`` (a TrainState namedtuple)."""
+    path = _path(exp_dir, name)
+    target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                    jax.device_get(dict(like._asdict())))
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, target)
+    return type(like)(**restored)
+
+
 def transfer_pretrain_to_ft(pretrain_params: Dict, ft_params: Dict,
                             refresh_fusion: bool = True) -> Dict:
     """Load pretraining weights into a finetune model.

@@ -1,0 +1,75 @@
+"""Checkpoint/resume tests: train-state round-trip and loop resume."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from avsiam_tpu.configs import (AudioConfig, CAVMAEConfig, DecoderConfig,
+                                OptimizerConfig, PretrainConfig, ViTConfig)
+
+TINY_VIT = ViTConfig(dim=32, depth=2, num_heads=2, patch_size=16,
+                     img_size=32, audio_length=128, mel_bins=32)
+TINY_AUDIO = AudioConfig(target_length=128, num_mel_bins=32)
+
+
+@pytest.fixture
+def index_json(tmp_path):
+    data = {"data": [{"wav": f"/fake/{i}.wav", "labels": ""}
+                     for i in range(8)]}
+    p = tmp_path / "idx.json"
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+def _cfg(tmp_path):
+    return PretrainConfig(
+        model=CAVMAEConfig(vit=TINY_VIT,
+                           decoder=DecoderConfig(dim=16, depth=1,
+                                                 num_heads=2)),
+        audio=TINY_AUDIO, opt=OptimizerConfig(lr=1e-4), batch_size=4,
+        n_epochs=2, n_print_steps=1, exp_dir=str(tmp_path / "exp"))
+
+
+def test_train_state_roundtrip(tmp_path, index_json):
+    import jax.numpy as jnp
+    from avsiam_tpu.data.dataset import AVDataset
+    from avsiam_tpu.models import CAVMAEPretrain
+    from avsiam_tpu.train.pretrain import init_state
+    from avsiam_tpu.utils.checkpoint import (restore_train_state,
+                                             save_train_state)
+    cfg = _cfg(tmp_path)
+    model = CAVMAEPretrain(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    a = jnp.zeros((2, TINY_VIT.audio_length, TINY_VIT.mel_bins))
+    v = jnp.zeros((2, 3, TINY_VIT.img_size, TINY_VIT.img_size))
+    state = init_state(rng, model, cfg, (a, v))
+    state = state._replace(step=state.step + 7)
+    save_train_state(cfg.exp_dir, "train_state.3", state)
+    restored = restore_train_state(cfg.exp_dir, "train_state.3", state)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(
+        np.asarray(restored.params["vit"]["pos_embed_a"]),
+        np.asarray(state.params["vit"]["pos_embed_a"]))
+    # optimizer moments restored too
+    flat_a = jax.tree_util.tree_leaves(restored.opt1)
+    flat_b = jax.tree_util.tree_leaves(state.opt1)
+    assert len(flat_a) == len(flat_b)
+
+
+def test_pretrain_resume_continues(tmp_path, index_json):
+    from avsiam_tpu.data.dataset import AVDataset
+    from avsiam_tpu.train.loops import run_pretrain
+    cfg = _cfg(tmp_path)
+    ds = AVDataset(index_json, TINY_AUDIO, n_class=3, mode="train",
+                   frame_source="synthetic", im_res=32)
+    # run epochs 1-2
+    out1 = run_pretrain(cfg, ds, max_steps_per_epoch=1, log=lambda *a: None)
+    assert os.path.exists(tmp_path / "exp" / "models" / "train_state.2")
+    # resume: no epochs left -> returns immediately with restored state
+    out2 = run_pretrain(cfg, ds, max_steps_per_epoch=1, resume=True,
+                        log=lambda *a: None)
+    assert int(out2["state"].step) == int(out1["state"].step)
+    assert out2["rows"] == []  # nothing re-trained
