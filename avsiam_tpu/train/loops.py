@@ -57,9 +57,13 @@ def _epoch_loader(ds: AVDataset, cfg_batch: int, epoch: int, seed: int,
         if weights is not None:
             idx = weighted_indices(weights, n, epoch, seed)
         else:
-            idx = shuffled_epoch_indices(n, epoch, seed)
+            idx = shuffled_epoch_indices(n, epoch, seed,
+                                         world=jax.process_count())
     else:
-        idx = eval_shard_indices(n, 1, 0)
+        # each host loads its contiguous padded slab; gathered outputs are
+        # concatenated in process order and trimmed (SequentialDistributed-
+        # Sampler semantics, parallel/dist.gather_eval_outputs)
+        idx = eval_shard_indices(n, jax.process_count(), jax.process_index())
     return device_loader(ds, batched(idx, cfg_batch, drop_last=train),
                          transform, rng, seed=seed + epoch,
                          frames_per_sample=frames_per_sample,
@@ -308,8 +312,9 @@ def validate_ft(eval_fn, params, val_ds: AVDataset, cfg: FinetuneConfig,
             losses.append(float(loss_fn(jnp.asarray(logits), jnp.asarray(y))))
         preds.append(np.asarray(p, dtype=np.float32))
         targets.append(np.asarray(y, dtype=np.float32))
-    output = np.concatenate(preds)[: len(val_ds)]
-    target = np.concatenate(targets)[: len(val_ds)]
+    from avsiam_tpu.parallel.dist import gather_eval_outputs
+    output = gather_eval_outputs(np.concatenate(preds), len(val_ds))
+    target = gather_eval_outputs(np.concatenate(targets), len(val_ds))
     stats = calculate_stats(output, target)
     return stats, float(np.mean(losses))
 
