@@ -80,7 +80,8 @@ class Attention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, key_valid: Optional[jnp.ndarray] = None):
+    def __call__(self, x, key_valid: Optional[jnp.ndarray] = None,
+                 tome: bool = False):
         B, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -90,8 +91,13 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = attention(q, k, v, key_valid=key_valid, impl=self.attn_impl)
         out = out.reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                        name="proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="proj")(out)
+        if tome:
+            # mean-head keys as the ToMe matching metric
+            # (cav_mae_base.py:80-81 ``return x, k.mean(1)``)
+            return out, jnp.mean(k, axis=2)
+        return out
 
 
 class ModalityBlock(nn.Module):
@@ -130,7 +136,12 @@ class ModalityBlock(nn.Module):
                        self.gelu_approx, name="mlp")
 
     def __call__(self, x, modality: Optional[str] = None,
-                 key_valid: Optional[jnp.ndarray] = None):
+                 key_valid: Optional[jnp.ndarray] = None, r: int = 0):
+        """``r > 0`` applies ToMe after the attention sub-block (the
+        reference's commented ToMe path, cav_mae_base.py:155-166): merge the
+        r most similar tokens by mean-head-key matching; merged-away slots
+        are masked out of the MLP-residual stream via key_valid composition
+        downstream (TPU static-shape formulation, see models/tome.py)."""
         if modality is None:
             n1, n2 = self.norm1, self.norm2
         elif modality == "a":
@@ -148,6 +159,16 @@ class ModalityBlock(nn.Module):
             return out[:, :num_a], x[:, num_a:]
         else:
             raise ValueError(f"unknown modality: {modality}")
+        if r > 0:
+            from avsiam_tpu.models.tome import (bipartite_soft_matching,
+                                                merge_wavg)
+            attn_out, metric = self.attn(n1(x), key_valid=key_valid,
+                                         tome=True)
+            x = x + attn_out
+            assign, keep = bipartite_soft_matching(metric, r)
+            x, _ = merge_wavg(assign, x)
+            x = x + self.mlp(n2(x))
+            return x, keep
         x = x + self.attn(n1(x), key_valid=key_valid)
         x = x + self.mlp(n2(x))
         return x

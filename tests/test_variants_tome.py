@@ -92,3 +92,20 @@ def test_forward_feat_and_inpaint():
     assert img_a.shape == (2, 1, TINY.mel_bins, TINY.audio_length)
     assert img_v.shape == (2, 3, TINY.img_size, TINY.img_size)
     assert np.isfinite(np.asarray(img_v)).all()
+
+
+def test_block_tome_path():
+    """Block r>0 applies ToMe after attention and returns a keep mask."""
+    import flax.linen as nn
+    from avsiam_tpu.models.layers import ModalityBlock
+    rng = jax.random.PRNGKey(0)
+    blk = ModalityBlock(16, 2)
+    x = jax.random.normal(rng, (2, 12, 16))
+    params = blk.init(rng, x, "a")
+    out, keep = blk.apply(params, x, "a", None, 4)
+    assert out.shape == x.shape
+    assert keep.shape == (2, 12)
+    assert int((~keep).sum(axis=1)[0]) == 4
+    # r=0 unchanged signature
+    out0 = blk.apply(params, x, "a")
+    assert out0.shape == x.shape
