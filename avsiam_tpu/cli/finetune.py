@@ -93,6 +93,7 @@ def main(argv=None):
         opt=optimizer_from_args(args), batch_size=args.batch_size,
         n_epochs=args.n_epochs, head_lr=args.head_lr, mm_lr=args.mm_lr,
         freeze_base=bool(args.freeze_base), ftmode=args.ftmode,
+        ftmode_test=args.ftmode_test,
         loss=args.loss, metrics=args.metrics, label_smooth=args.label_smooth,
         n_print_steps=args.n_print_steps, seed=args.seed,
         exp_dir=args.exp_dir)

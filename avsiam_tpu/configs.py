@@ -193,6 +193,9 @@ class FinetuneConfig:
     mm_lr: float = 100.0  # lr multiplier for mm_layer* params
     freeze_base: bool = False
     ftmode: str = "mm_grad"
+    # eval-time forward mode; None = same as ftmode (the reference's separate
+    # --ftmode_test flag, run_cavmae_ft_base.py)
+    ftmode_test: Optional[str] = None
     # torch-parity optimizer: per-leaf gated Adam reproducing
     # find_unused_parameters skip semantics under stochastic loss routing
     # (per-leaf step counts, frozen moments for untouched branches)

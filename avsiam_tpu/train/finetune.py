@@ -130,11 +130,12 @@ def make_finetune_step(model: CAVMAEFinetune, cfg: FinetuneConfig):
 def make_ft_eval_step(model: CAVMAEFinetune, cfg: FinetuneConfig):
     """Eval forward (traintest_ft_base.py:292-352): logits for the eval-mode
     multi-frame forward; sigmoid + frame-mean happen host-side on gathered
-    outputs."""
+    outputs. Uses ftmode_test when set (the reference's separate eval mode)."""
+    mode = cfg.ftmode_test or cfg.ftmode
 
     def eval_step(params, batch):
         a, v, _ = batch
-        return model.apply({"params": params}, a, v, cfg.ftmode, True)
+        return model.apply({"params": params}, a, v, mode, True)
 
     return jax.jit(eval_step)
 
