@@ -116,9 +116,21 @@ class AVDataset:
         return np.stack(frames)
 
     def get(self, i: int, rng: np.random.RandomState) -> AVSample:
+        """Load one sample with the reference's data-level fault tolerance:
+        decode errors substitute constant tensors instead of failing the run
+        (src/dataloader.py:330,385,424,447,475 return 0.01-filled tensors)."""
         rec = self.index[i]
-        wav = self._load_waveform(rec)
-        frames = self._load_frames(rec, rng)
+        try:
+            wav = self._load_waveform(rec)
+        except Exception as e:  # noqa: BLE001 — any decode failure
+            print(f"there is an error in loading audio {rec.wav}: {e}")
+            wav = np.full(self.num_samples_audio, 0.01, dtype=np.float32)
+        try:
+            frames = self._load_frames(rec, rng)
+        except Exception as e:  # noqa: BLE001
+            print(f"there is an error in loading image {rec.video_path}: {e}")
+            frames = np.full((self.num_frames, self.im_res, self.im_res, 3),
+                             3, dtype=np.uint8)  # ~0.01 after /255
         labels = multihot_labels(rec.labels, self.index_dict, self.n_class,
                                  self.label_smooth)
         return AVSample(wav, frames, labels)

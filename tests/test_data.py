@@ -144,3 +144,21 @@ def test_prefetcher_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
+
+
+def test_dataset_fault_tolerance(tmp_path, label_csv):
+    """Missing media files substitute constant tensors (reference parity:
+    src/dataloader.py error fallbacks) instead of crashing the epoch."""
+    import json as _json
+    data = {"data": [{"wav": "/definitely/missing.wav", "labels": "/m/0",
+                      "video_id": "x", "video_path": "/missing"}]}
+    p = tmp_path / "bad.json"
+    p.write_text(_json.dumps(data))
+    cfg = AudioConfig()
+    ds = AVDataset(str(p), cfg, label_csv=label_csv, mode="train",
+                   frame_source="frames", im_res=32)
+    rng = np.random.RandomState(0)
+    wav, frames, labels = ds.batch([0], rng)
+    assert wav.shape[0] == 1 and np.allclose(wav, 0.01)
+    assert frames.dtype == np.uint8 and (frames == 3).all()
+    assert labels[0, 0] == 1.0
