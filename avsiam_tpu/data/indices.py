@@ -100,7 +100,35 @@ class NpyIndex(SampleIndex):
                       video_path=str(r[3]) if len(r) > 3 else "")
 
 
+class ConcatIndex(SampleIndex):
+    """Concatenation of several indices — the Base+ pretraining corpus
+    (AS-2M + VGGSound + ACAV-2.4M, the reference's combined sqlite DB
+    ``train_pt_as+vgg+acav2.4m.sqlite.db``, dataloader.py:176)."""
+
+    def __init__(self, indices: Sequence[SampleIndex]):
+        self._indices = list(indices)
+        self._offsets = []
+        total = 0
+        for idx in self._indices:
+            self._offsets.append(total)
+            total += len(idx)
+        self._n = total
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i: int) -> Record:
+        for idx, off in zip(reversed(self._indices),
+                            reversed(self._offsets)):
+            if i >= off:
+                return idx[i - off]
+        raise IndexError(i)
+
+
 def open_index(path: str) -> SampleIndex:
+    """Open one index, or a ','-joined list of paths as a ConcatIndex."""
+    if "," in path:
+        return ConcatIndex([open_index(p) for p in path.split(",")])
     if path.endswith(".json"):
         return JsonIndex(path)
     if path.endswith(".npy"):

@@ -162,3 +162,17 @@ def test_dataset_fault_tolerance(tmp_path, label_csv):
     assert wav.shape[0] == 1 and np.allclose(wav, 0.01)
     assert frames.dtype == np.uint8 and (frames == 3).all()
     assert labels[0, 0] == 1.0
+
+
+def test_concat_index(tmp_path, json_index):
+    """','-joined paths open as a concatenated corpus (Base+ pretrain)."""
+    from avsiam_tpu.data.indices import open_index
+    import json as _json
+    p2 = tmp_path / "idx2.json"
+    p2.write_text(_json.dumps(
+        {"data": [{"wav": f"/other/{i}.wav", "labels": ""} for i in range(3)]}))
+    idx = open_index(f"{json_index},{p2}")
+    assert len(idx) == 13
+    assert idx[0].wav == "/fake/0.wav"
+    assert idx[10].wav == "/other/0.wav"
+    assert idx[12].wav == "/other/2.wav"
