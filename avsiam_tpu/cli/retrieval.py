@@ -55,8 +55,7 @@ def extract_features(args, model_cfg: CAVMAEFTConfig, params, ds,
     for bi, idx in enumerate(idx_batches):
         if max_batches and bi >= max_batches:
             break
-        wav, frames, labels = ds.batch(idx, rng, frames_per_sample=10)
-        fb, img, _ = transform(wav, frames, labels)
+        fb, img, _ = transform(*ds.batch(idx, rng, frames_per_sample=10))
         fa, fv = feat(params, fb, img)
         a_all.append(np.asarray(jax.device_get(fa)))
         v_all.append(np.asarray(jax.device_get(fv)))

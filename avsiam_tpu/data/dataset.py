@@ -41,9 +41,10 @@ from avsiam_tpu.ops.fbank import kaldi_fbank, pad_or_crop_frames
 
 @dataclass
 class AVSample:
-    waveform: np.ndarray  # [num_samples] float32, mean-centered
+    waveform: np.ndarray  # [num_samples] float32, mean-centered, zero-padded
     frames: np.ndarray  # uint8 [T, H, W, 3]
     labels: np.ndarray  # [n_class] float32
+    wav_len: int = 0  # true sample count before padding
 
 
 class AVDataset:
@@ -79,7 +80,7 @@ class AVDataset:
         return len(self.index)
 
     # ------------------------------------------------------------------
-    def _load_waveform(self, rec) -> np.ndarray:
+    def _load_waveform(self, rec):
         if self.frame_source == "synthetic":
             rng = np.random.RandomState(abs(hash(rec.wav)) % (2 ** 31))
             w = rng.randn(self.num_samples_audio).astype(np.float32) * 0.05
@@ -90,7 +91,8 @@ class AVDataset:
                 x = media.resample(x, sr, self.audio_conf.sample_rate)
             w = x.astype(np.float32)
         w = media.mean_center(w)
-        return media.fit_length(w, self.num_samples_audio)
+        wav_len = min(len(w), self.num_samples_audio)
+        return media.fit_length(w, self.num_samples_audio), wav_len
 
     def _load_frames(self, rec, rng: np.random.RandomState) -> np.ndarray:
         T = self.num_frames
@@ -121,10 +123,11 @@ class AVDataset:
         (src/dataloader.py:330,385,424,447,475 return 0.01-filled tensors)."""
         rec = self.index[i]
         try:
-            wav = self._load_waveform(rec)
+            wav, wav_len = self._load_waveform(rec)
         except Exception as e:  # noqa: BLE001 — any decode failure
             print(f"there is an error in loading audio {rec.wav}: {e}")
             wav = np.full(self.num_samples_audio, 0.01, dtype=np.float32)
+            wav_len = self.num_samples_audio
         try:
             frames = self._load_frames(rec, rng)
         except Exception as e:  # noqa: BLE001
@@ -133,16 +136,24 @@ class AVDataset:
                              3, dtype=np.uint8)  # ~0.01 after /255
         labels = multihot_labels(rec.labels, self.index_dict, self.n_class,
                                  self.label_smooth)
-        return AVSample(wav, frames, labels)
+        return AVSample(wav, frames, labels, wav_len)
 
     def batch(self, indices, rng: np.random.RandomState,
               frames_per_sample: int = 1):
         """Assemble a host batch. frames_per_sample: 1 (random train frame) or
         num_frames (eval). Returns (wav [B,n], frames u8 [B,T,H,W,3],
-        labels [B,C])."""
+        labels [B,C]).
+
+        Waveforms are zero-padded to a fixed sample count and the true sample
+        counts are returned so the device transform can zero fbank rows
+        beyond each clip's frame count — matching the reference's 0.0 fbank
+        padding (dataloader.py:333-343) instead of log-eps rows from padded
+        silence. Returns (wav, frames, labels, wav_len[B] int32)."""
         wavs, frames, labels = [], [], []
+        lens = []
         for i in indices:
             s = self.get(int(i), rng)
+            lens.append(s.wav_len)
             if frames_per_sample == 1:
                 # random frame of 10 in train; middle/frame_use in eval
                 # (src/dataloader.py:347-356,468-471)
@@ -157,7 +168,8 @@ class AVDataset:
             wavs.append(s.waveform)
             frames.append(f)
             labels.append(s.labels)
-        return (np.stack(wavs), np.stack(frames), np.stack(labels))
+        return (np.stack(wavs), np.stack(frames), np.stack(labels),
+                np.asarray(lens, dtype=np.int32))
 
 
 # ----------------------------------------------------------------------
@@ -174,14 +186,33 @@ def _images_from_u8(frames_u8: jnp.ndarray, im_res: int) -> jnp.ndarray:
     return aug.normalize_image(x)
 
 
+def _fbank_with_ref_padding(cfg: AudioConfig, wav, wav_len):
+    """Device fbank over the fixed-size padded waveform, with rows beyond
+    each clip's TRUE frame count zeroed — matching the reference's behavior
+    of computing fbank on the real clip and zero-padding the ROWS
+    (dataloader.py:333-343), instead of log-eps rows from padded silence."""
+    fb = kaldi_fbank(wav, sample_freq=float(cfg.sample_rate),
+                     num_mel_bins=cfg.num_mel_bins,
+                     frame_length_ms=cfg.frame_length_ms,
+                     frame_shift_ms=cfg.frame_shift_ms)
+    fb = pad_or_crop_frames(fb, cfg.target_length)
+    if wav_len is not None:
+        ws = int(cfg.sample_rate * cfg.frame_length_ms / 1000.0)
+        sh = int(cfg.sample_rate * cfg.frame_shift_ms / 1000.0)
+        n_valid = 1 + jnp.maximum(wav_len - ws, 0) // sh  # snip_edges count
+        rows = jnp.arange(cfg.target_length)[None, :]
+        fb = jnp.where(rows[..., None] < n_valid[:, None, None], fb, 0.0)
+    return fb
+
+
 def make_train_transform(cfg: AudioConfig, im_res: int = 224,
                          single_frame: bool = True):
-    """jit fn(rng, wav [B,n], frames_u8 [B,T,H,W,3], labels [B,C]) ->
-    (fbank [B,1024,128], image, labels). Applies mixup (if cfg.mixup>0),
-    fbank, SpecAug, normalize, noise/roll."""
+    """jit fn(rng, wav [B,n], frames_u8 [B,T,H,W,3], labels [B,C],
+    wav_len [B]) -> (fbank [B,1024,128], image, labels). Applies mixup (if
+    cfg.mixup>0), fbank, SpecAug, normalize, noise/roll."""
 
     @jax.jit
-    def f(rng, wav, frames_u8, labels):
+    def f(rng, wav, frames_u8, labels, wav_len=None):
         k_mix, k_coin, k_lam, k_imgw, k_spec, k_noise = jax.random.split(rng, 6)
         B = wav.shape[0]
         img = _images_from_u8(frames_u8, im_res)
@@ -192,17 +223,15 @@ def make_train_transform(cfg: AudioConfig, im_res: int = 224,
             coin = jax.random.uniform(k_coin, (B,)) < cfg.mixup
             lam = jnp.where(coin, aug.mixup_lambda(k_lam, B), 1.0)
             wav = aug.mixup_waveform(lam, wav, wav[perm])
+            # mixed clip keeps the FIRST clip's length (the reference pads or
+            # crops the partner to waveform1's length, dataloader.py:314-325)
             w_img = jnp.where(coin, jax.random.uniform(k_imgw, (B,)), 1.0)
             bshape = (B,) + (1,) * (img.ndim - 1)
             img = (w_img.reshape(bshape) * img
                    + (1.0 - w_img.reshape(bshape)) * img[perm])
             lam_l = lam[:, None]
             labels = lam_l * labels + (1.0 - lam_l) * labels[perm]
-        fb = kaldi_fbank(wav, sample_freq=float(cfg.sample_rate),
-                         num_mel_bins=cfg.num_mel_bins,
-                         frame_length_ms=cfg.frame_length_ms,
-                         frame_shift_ms=cfg.frame_shift_ms)
-        fb = pad_or_crop_frames(fb, cfg.target_length)
+        fb = _fbank_with_ref_padding(cfg, wav, wav_len)
         fb = aug.spec_augment(k_spec, fb, cfg.freqm, cfg.timem)
         if not cfg.skip_norm:
             fb = aug.normalize_fbank(fb, cfg.norm_mean, cfg.norm_std)
@@ -218,15 +247,11 @@ def make_eval_transform(cfg: AudioConfig, im_res: int = 224,
     """Eval: fbank + normalize only; all frames kept (multi-frame ensemble)."""
 
     @jax.jit
-    def f(wav, frames_u8, labels):
+    def f(wav, frames_u8, labels, wav_len=None):
         img = _images_from_u8(frames_u8, im_res)
         if single_frame:
             img = img[:, 0]
-        fb = kaldi_fbank(wav, sample_freq=float(cfg.sample_rate),
-                         num_mel_bins=cfg.num_mel_bins,
-                         frame_length_ms=cfg.frame_length_ms,
-                         frame_shift_ms=cfg.frame_shift_ms)
-        fb = pad_or_crop_frames(fb, cfg.target_length)
+        fb = _fbank_with_ref_padding(cfg, wav, wav_len)
         if not cfg.skip_norm:
             fb = aug.normalize_fbank(fb, cfg.norm_mean, cfg.norm_std)
         return fb, img, labels

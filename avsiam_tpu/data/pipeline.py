@@ -73,9 +73,9 @@ def device_loader(dataset, index_batches, transform: Callable,
     """
     it = Prefetcher(host_batches(dataset, index_batches, seed,
                                  frames_per_sample), sharding=sharding)
-    for i, (wav, frames, labels) in enumerate(it):
+    for i, batch in enumerate(it):
         if train:
             k = jax.random.fold_in(rng_key, i)
-            yield transform(k, wav, frames, labels)
+            yield transform(k, *batch)
         else:
-            yield transform(wav, frames, labels)
+            yield transform(*batch)

@@ -103,11 +103,12 @@ def test_synthetic_dataset_and_transforms(json_index, label_csv):
     ds = AVDataset(json_index, cfg, label_csv=label_csv, mode="train",
                    frame_source="synthetic", im_res=64)
     rng = np.random.RandomState(0)
-    wav, frames, labels = ds.batch([0, 1, 2, 3], rng)
+    wav, frames, labels, wav_len = ds.batch([0, 1, 2, 3], rng)
     assert frames.shape == (4, 1, 64, 64, 3) and frames.dtype == np.uint8
     assert labels.shape == (4, 3)
+    assert wav_len.shape == (4,)
     tr = make_train_transform(cfg, im_res=64)
-    fb, img, y = tr(jax.random.PRNGKey(0), wav, frames, labels)
+    fb, img, y = tr(jax.random.PRNGKey(0), wav, frames, labels, wav_len)
     assert fb.shape == (4, cfg.target_length, cfg.num_mel_bins)
     assert img.shape == (4, 3, 64, 64)
     assert np.isfinite(np.asarray(fb)).all()
@@ -115,9 +116,9 @@ def test_synthetic_dataset_and_transforms(json_index, label_csv):
     assert float(np.asarray(y).min()) >= 0.0
 
     # eval: all 10 frames, no aug
-    wav, frames, labels = ds.batch([0, 1], rng, frames_per_sample=10)
+    batch = ds.batch([0, 1], rng, frames_per_sample=10)
     ev = make_eval_transform(cfg, im_res=64)
-    fb, img, y = ev(wav, frames, labels)
+    fb, img, y = ev(*batch)
     assert img.shape == (2, 10, 3, 64, 64)
 
 
@@ -158,7 +159,7 @@ def test_dataset_fault_tolerance(tmp_path, label_csv):
     ds = AVDataset(str(p), cfg, label_csv=label_csv, mode="train",
                    frame_source="frames", im_res=32)
     rng = np.random.RandomState(0)
-    wav, frames, labels = ds.batch([0], rng)
+    wav, frames, labels, wav_len = ds.batch([0], rng)
     assert wav.shape[0] == 1 and np.allclose(wav, 0.01)
     assert frames.dtype == np.uint8 and (frames == 3).all()
     assert labels[0, 0] == 1.0
@@ -176,3 +177,27 @@ def test_concat_index(tmp_path, json_index):
     assert idx[0].wav == "/fake/0.wav"
     assert idx[10].wav == "/other/0.wav"
     assert idx[12].wav == "/other/2.wav"
+
+
+def test_short_clip_fbank_padding_matches_reference(json_index, label_csv):
+    """Rows beyond a short clip's true frame count must be 0.0 pre-norm
+    (reference ZeroPad2d on the fbank, dataloader.py:333-343), NOT log-eps
+    from zero-padded waveform."""
+    from avsiam_tpu.ops.fbank import num_frames_for
+    cfg = AudioConfig(target_length=128, num_mel_bins=32, skip_norm=True)
+    ds = AVDataset(json_index, cfg, label_csv=label_csv, mode="eval",
+                   frame_source="synthetic", im_res=32)
+    rng = np.random.RandomState(0)
+    wav, frames, labels, wav_len = ds.batch([0, 1], rng)
+    # simulate a short clip: true length half the padded buffer
+    short = wav_len // 2
+    wav = wav.copy()
+    for b in range(2):
+        wav[b, short[b]:] = 0.0
+    ev = make_eval_transform(cfg, im_res=32, single_frame=True)
+    fb, _, _ = ev(wav, frames, labels, short)
+    fb = np.asarray(fb)
+    n_valid = num_frames_for(int(short[0]), cfg.sample_rate)
+    assert 0 < n_valid < cfg.target_length
+    assert np.allclose(fb[0, n_valid:], 0.0)  # reference-style zero rows
+    assert not np.allclose(fb[0, :n_valid], 0.0)  # real content before
