@@ -62,8 +62,14 @@ def _epoch_loader(ds: AVDataset, cfg_batch: int, epoch: int, seed: int,
     else:
         # each host loads its contiguous padded slab; gathered outputs are
         # concatenated in process order and trimmed (SequentialDistributed-
-        # Sampler semantics, parallel/dist.gather_eval_outputs)
+        # Sampler semantics, parallel/dist.gather_eval_outputs). The slab is
+        # further padded to a batch multiple (repeating the last index) so
+        # every eval batch has ONE static shape — a ragged tail batch would
+        # force a second XLA compile of the eval step.
         idx = eval_shard_indices(n, jax.process_count(), jax.process_index())
+        rem = len(idx) % cfg_batch
+        if rem:
+            idx = np.concatenate([idx, np.full(cfg_batch - rem, idx[-1])])
     return device_loader(ds, batched(idx, cfg_batch, drop_last=train),
                          transform, rng, seed=seed + epoch,
                          frames_per_sample=frames_per_sample,
@@ -312,9 +318,13 @@ def validate_ft(eval_fn, params, val_ds: AVDataset, cfg: FinetuneConfig,
             losses.append(float(loss_fn(jnp.asarray(logits), jnp.asarray(y))))
         preds.append(np.asarray(p, dtype=np.float32))
         targets.append(np.asarray(y, dtype=np.float32))
+    from avsiam_tpu.data.samplers import eval_shard_indices
     from avsiam_tpu.parallel.dist import gather_eval_outputs
-    output = gather_eval_outputs(np.concatenate(preds), len(val_ds))
-    target = gather_eval_outputs(np.concatenate(targets), len(val_ds))
+    # drop this rank's batch-alignment padding before the ordered gather
+    slab = len(eval_shard_indices(len(val_ds), jax.process_count(),
+                                  jax.process_index()))
+    output = gather_eval_outputs(np.concatenate(preds)[:slab], len(val_ds))
+    target = gather_eval_outputs(np.concatenate(targets)[:slab], len(val_ds))
     stats = calculate_stats(output, target)
     return stats, float(np.mean(losses))
 

@@ -87,12 +87,15 @@ def restore_train_state(exp_dir: str, name, like):
 
 
 def transfer_pretrain_to_ft(pretrain_params: Dict, ft_params: Dict,
-                            refresh_fusion: bool = True) -> Dict:
+                            refresh_fusion: bool = False) -> Dict:
     """Load pretraining weights into a finetune model.
 
-    Shared subtrees ('vit') transfer; then — like the reference's
-    ``__create_fusion__`` after loading (cav_mae_base.py:823-825) — the fusion
-    layers are re-copied from encoder blocks 10/11 of the TRANSFERRED trunk.
+    Default (reference active path, run_cavmae_ft_base.py:248-257): the
+    non-strict load carries the PRETRAIN checkpoint's mm_layer_1/2 into the
+    FT model — ``__create_fusion__`` is commented out there. Pass
+    ``refresh_fusion=True`` for the __create_fusion__ behavior
+    (cav_mae_base.py:823-825): re-copy the fusion layers from encoder blocks
+    10/11 of the transferred trunk.
     """
     import copy as _copy
     out = dict(ft_params)

@@ -171,12 +171,20 @@ def test_transfer_pretrain_to_ft():
     np.testing.assert_allclose(
         np.asarray(out["vit"]["pos_embed_a"]),
         np.asarray(pre["vit"]["pos_embed_a"]))
-    # fusion layers re-copied from trunk blocks 10/11 (here depth-2/depth-1)
+    # default = reference active path: mm layers come from the PRETRAIN
+    # checkpoint (non-strict load; __create_fusion__ is commented out there)
     np.testing.assert_allclose(
         np.asarray(out["mm_layer_1"]["attn"]["qkv"]["kernel"]),
+        np.asarray(pre["mm_layer_1"]["attn"]["qkv"]["kernel"]))
+    # refresh_fusion=True = __create_fusion__: re-copy from blocks 10/11
+    # (here depth-2/depth-1 of the tiny model)
+    out2 = transfer_pretrain_to_ft(jax.device_get(pre), jax.device_get(ft),
+                                   refresh_fusion=True)
+    np.testing.assert_allclose(
+        np.asarray(out2["mm_layer_1"]["attn"]["qkv"]["kernel"]),
         np.asarray(pre["vit"]["blocks_0"]["attn"]["qkv"]["kernel"]))
     np.testing.assert_allclose(
-        np.asarray(out["mm_layer_2"]["attn"]["qkv"]["kernel"]),
+        np.asarray(out2["mm_layer_2"]["attn"]["qkv"]["kernel"]),
         np.asarray(pre["vit"]["blocks_1"]["attn"]["qkv"]["kernel"]))
     # heads keep fresh init
     np.testing.assert_allclose(
