@@ -7,8 +7,6 @@ import argparse
 import ast
 import json
 import os
-from typing import Optional
-
 from avsiam_tpu.configs import AudioConfig, OptimizerConfig
 from avsiam_tpu.data.dataset import AVDataset
 

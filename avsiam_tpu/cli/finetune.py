@@ -10,14 +10,13 @@ from __future__ import annotations
 
 import argparse
 import ast
-import csv
 
 import numpy as np
 
 from avsiam_tpu.cli.common import (add_common_args, audio_config_from_args,
                                    dataset_from_args, dump_args, jnp_dtype,
                                    optimizer_from_args)
-from avsiam_tpu.configs import CAVMAEFTConfig, FinetuneConfig
+from avsiam_tpu.configs import FinetuneConfig
 from avsiam_tpu.train.loops import run_finetune
 
 
@@ -51,7 +50,6 @@ def _load_init_params(args, cfg: FinetuneConfig):
     import jax
     import jax.numpy as jnp
     from avsiam_tpu.models import CAVMAEFinetune
-    from avsiam_tpu.train import finetune as ftmod
     model = CAVMAEFinetune(cfg.model)
     rng = jax.random.PRNGKey(0)
     a = jnp.zeros((1, cfg.model.vit.audio_length, cfg.model.vit.mel_bins))

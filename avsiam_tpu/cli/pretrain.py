@@ -9,12 +9,11 @@ Example (smoke run on synthetic data):
 from __future__ import annotations
 
 import argparse
-import ast
 
 from avsiam_tpu.cli.common import (add_common_args, audio_config_from_args,
                                    dataset_from_args, dump_args, jnp_dtype,
                                    optimizer_from_args)
-from avsiam_tpu.configs import CAVMAEConfig, PretrainConfig
+from avsiam_tpu.configs import PretrainConfig
 from avsiam_tpu.train.loops import run_pretrain
 
 

@@ -16,7 +16,7 @@ import numpy as np
 
 from avsiam_tpu.cli.common import (add_common_args, audio_config_from_args,
                                    dataset_from_args, jnp_dtype)
-from avsiam_tpu.configs import CAVMAEFTConfig, FinetuneConfig
+from avsiam_tpu.configs import CAVMAEFTConfig
 from avsiam_tpu.data.samplers import batched, eval_shard_indices
 from avsiam_tpu.eval.retrieval import retrieval_metrics
 

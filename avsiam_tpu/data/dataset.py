@@ -23,9 +23,8 @@ mix with the audio lam (dataloader.py:417-418,429-434).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Iterator, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

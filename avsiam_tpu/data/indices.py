@@ -14,10 +14,9 @@ from __future__ import annotations
 
 import csv
 import json
-import os
 import sqlite3
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 
 def make_index_dict(label_csv: str) -> Dict[str, int]:

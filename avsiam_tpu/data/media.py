@@ -18,7 +18,7 @@ import os
 import shutil
 import subprocess
 import wave
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

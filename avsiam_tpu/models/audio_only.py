@@ -12,9 +12,7 @@ LN+Linear head. Init: xavier-uniform linears, normal(0.02) modality embed.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from avsiam_tpu.configs import ViTConfig
 from avsiam_tpu.models.cavmae_ft import MlpHead

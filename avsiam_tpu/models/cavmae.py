@@ -35,8 +35,7 @@ TPU-first departures (mathematically equivalent):
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

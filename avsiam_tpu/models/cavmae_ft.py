@@ -27,8 +27,6 @@ TPU-first departures:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

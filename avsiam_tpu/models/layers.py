@@ -21,10 +21,9 @@ Reference parity:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from avsiam_tpu.configs import ViTConfig

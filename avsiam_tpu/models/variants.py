@@ -17,9 +17,6 @@ preset with full structural fidelity at toy dimensions.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Optional
-
 from avsiam_tpu.configs import (CAVMAEConfig, CAVMAEFTConfig, DecoderConfig,
                                 ViTConfig, replace)
 

@@ -13,7 +13,6 @@ pipelines feed globally-sharded arrays; ordered eval gather is
 from __future__ import annotations
 
 import builtins
-import functools
 import os
 from typing import Optional
 

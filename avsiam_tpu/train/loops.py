@@ -23,7 +23,7 @@ import json
 import os
 import pickle
 import time
-from typing import Callable, Dict, Iterable, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +41,8 @@ from avsiam_tpu.models.cavmae import CAVMAEPretrain
 from avsiam_tpu.models.cavmae_ft import CAVMAEFinetune
 from avsiam_tpu.train import finetune as ft
 from avsiam_tpu.train import pretrain as pt
-from avsiam_tpu.utils.checkpoint import (average_checkpoints, restore_params,
-                                         save_params, transfer_pretrain_to_ft)
+from avsiam_tpu.utils.checkpoint import (average_checkpoints, save_params,
+                                         transfer_pretrain_to_ft)
 
 
 def _fetch(metrics: Dict) -> Dict[str, float]:
@@ -108,6 +108,8 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
 
     os.makedirs(os.path.join(cfg.exp_dir, "models"), exist_ok=True)
     result_rows: List[Dict] = []
+    progress: List[list] = []
+    start_time = time.time()
     best_loss, best_epoch = np.inf, 0
     meters = {k: AverageMeter() for k in
               ("loss", "loss_mae_a", "loss_mae_v", "loss_c", "per_sample_time",
@@ -167,6 +169,11 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         result_rows.append(row)
         _write_csv(os.path.join(cfg.exp_dir, "result.csv"), result_rows)
+        # progress.pkl parity (traintest_cavmae_base.py:47-51)
+        progress.append([epoch, global_step, best_epoch, best_loss,
+                         time.time() - start_time])
+        with open(os.path.join(cfg.exp_dir, "progress.pkl"), "wb") as f:
+            pickle.dump(progress, f)
 
     return {"state": state, "best_epoch": best_epoch, "rows": result_rows,
             "model": model}

@@ -14,8 +14,6 @@
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import optax
 
 from avsiam_tpu.configs import OptimizerConfig

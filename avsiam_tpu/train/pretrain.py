@@ -19,7 +19,7 @@ psums (GSPMD) — the NCCL DDP + GatherLayer equivalent.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

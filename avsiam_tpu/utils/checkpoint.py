@@ -16,7 +16,7 @@ traintest_ft_base.py:253-264, run_cavmae_ft_base.py:243-258):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional
+from typing import Dict
 
 import jax
 import numpy as np
