@@ -21,3 +21,10 @@ import jax  # noqa: E402
 # config here still wins as long as no devices have been touched yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles on
+# this 1-core host; repeat runs hit the cache and finish several times faster.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
