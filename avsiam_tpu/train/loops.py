@@ -107,6 +107,8 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
     eval_fn = pt.make_eval_step(model, cfg)
 
     os.makedirs(os.path.join(cfg.exp_dir, "models"), exist_ok=True)
+    from avsiam_tpu.utils.logging import MetricsLogger
+    mlog = MetricsLogger(cfg.exp_dir)
     result_rows: List[Dict] = []
     progress: List[list] = []
     start_time = time.time()
@@ -140,6 +142,7 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
                     f"mae_a {m['loss_mae_a']:.4f} mae_v {m['loss_mae_v']:.4f} "
                     f"c {m['loss_c']:.4f} c_acc {m['c_acc']:.3f} "
                     f"t/sample {meters['per_sample_time'].avg * 1000:.1f}ms")
+                mlog.log({"epoch": epoch, **m}, step=global_step)
                 if np.isnan(m["loss"]):
                     log("training diverged...")
                     return {"diverged": True, "epoch": epoch}
@@ -168,6 +171,7 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
         save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         result_rows.append(row)
+        mlog.log(row, step=global_step)
         _write_csv(os.path.join(cfg.exp_dir, "result.csv"), result_rows)
         # progress.pkl parity (traintest_cavmae_base.py:47-51)
         progress.append([epoch, global_step, best_epoch, best_loss,
@@ -237,6 +241,8 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     eval_fn = ft.make_ft_eval_step(model, cfg)
 
     os.makedirs(os.path.join(cfg.exp_dir, "models"), exist_ok=True)
+    from avsiam_tpu.utils.logging import MetricsLogger
+    mlog = MetricsLogger(cfg.exp_dir)
     best_metric, best_epoch, non_improving = -np.inf, 0, 0
     rows: List[Dict] = []
     global_step = 0
@@ -285,6 +291,7 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
         save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         rows.append(row)
+        mlog.log(row, step=global_step)
         _write_csv(os.path.join(cfg.exp_dir, "result.csv"), rows)
         if non_improving >= 3:  # traintest_ft_base.py:249-251
             log("early stop")

@@ -51,3 +51,30 @@ def test_memory_probe_cli_tiny():
                 "--dtype", "float32"])
     assert out["params_million"] > 0
     assert out["optimizer_state_million"] > 0
+
+
+def test_loops_write_metrics_jsonl(tmp_path):
+    """run_pretrain emits a metrics.jsonl stream via MetricsLogger."""
+    import json as _json
+    from avsiam_tpu.configs import (AudioConfig, CAVMAEConfig, DecoderConfig,
+                                    OptimizerConfig, PretrainConfig, ViTConfig)
+    from avsiam_tpu.data.dataset import AVDataset
+    from avsiam_tpu.train.loops import run_pretrain
+    vit = ViTConfig(dim=32, depth=2, num_heads=2, patch_size=16, img_size=32,
+                    audio_length=128, mel_bins=32)
+    audio = AudioConfig(target_length=128, num_mel_bins=32)
+    cfg = PretrainConfig(
+        model=CAVMAEConfig(vit=vit, decoder=DecoderConfig(dim=16, depth=1,
+                                                          num_heads=2)),
+        audio=audio, opt=OptimizerConfig(lr=1e-4), batch_size=4, n_epochs=1,
+        n_print_steps=1, exp_dir=str(tmp_path / "exp"))
+    idx = tmp_path / "idx.json"
+    idx.write_text(_json.dumps(
+        {"data": [{"wav": f"/s/{i}.wav", "labels": ""} for i in range(4)]}))
+    ds = AVDataset(str(idx), audio, n_class=3, mode="train",
+                   frame_source="synthetic", im_res=32)
+    run_pretrain(cfg, ds, max_steps_per_epoch=1, log=lambda *a: None)
+    lines = open(tmp_path / "exp" / "metrics.jsonl").read().splitlines()
+    rows = [_json.loads(l) for l in lines]
+    assert any("loss" in r for r in rows)
+    assert any("epoch" in r for r in rows)
