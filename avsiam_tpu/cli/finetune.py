@@ -114,6 +114,26 @@ def main(argv=None):
                        resume=args.resume,
                        max_steps_per_epoch=args.max_steps_per_epoch)
     print("finetune done:", {k: out.get(k) for k in ("best_epoch", "best")})
+    if args.data_eval and not out.get("diverged"):
+        # final held-out evaluation with the BEST checkpoint (the reference's
+        # separate --data_eval test split)
+        from avsiam_tpu.eval.metrics import mean_ap, mean_auc
+        from avsiam_tpu.models import CAVMAEFinetune
+        from avsiam_tpu.train.finetune import make_ft_eval_step
+        from avsiam_tpu.train.loops import validate_ft
+        from avsiam_tpu.utils.checkpoint import restore_params
+        eval_ds = dataset_from_args(args, args.data_eval, train=False,
+                                    num_mel_bins=mel,
+                                    im_res=model_cfg.vit.img_size,
+                                    num_frames=nf)
+        best = restore_params(cfg.exp_dir, "best_audio_model",
+                              like=out["state"].params)
+        stats, loss = validate_ft(make_ft_eval_step(out["model"], cfg), best,
+                                  eval_ds, cfg,
+                                  max_steps=args.max_steps_per_epoch)
+        print(f"eval set: mAP {mean_ap(stats):.4f} AUC {mean_auc(stats):.4f} "
+              f"acc {stats[0]['acc']:.4f} loss {loss:.4f}")
+        out["eval_stats"] = stats
     return out
 
 

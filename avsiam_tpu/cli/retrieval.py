@@ -85,12 +85,25 @@ def main(argv=None):
     params = jax.jit(lambda r, a, v: model.init(r, a, v, "retrieval"))(
         rng, a, v)["params"]
     if args.pretrain_path and args.pretrain_path != "None":
-        from avsiam_tpu.utils.torch_import import (import_cavmae_ft,
-                                                   load_torch_checkpoint)
         if args.pretrain_path.endswith(".pth"):
+            from avsiam_tpu.utils.torch_import import (import_cavmae_ft,
+                                                       load_torch_checkpoint)
             sd = load_torch_checkpoint(args.pretrain_path)
             params, _, _ = import_cavmae_ft(sd, jax.device_get(params),
                                             depth=model_cfg.vit.depth)
+        else:
+            # orbax checkpoint from our pretrainer or finetuner
+            import os as _os
+            from avsiam_tpu.utils.checkpoint import (restore_params,
+                                                     transfer_pretrain_to_ft)
+            exp_dir, name = _os.path.split(args.pretrain_path.rstrip("/"))
+            exp_dir = _os.path.dirname(exp_dir)  # strip 'models/'
+            loaded = restore_params(exp_dir, name)
+            if "ast" in loaded or "decoder" in loaded:  # pretrain ckpt
+                params = transfer_pretrain_to_ft(loaded,
+                                                 jax.device_get(params))
+            else:  # finetune ckpt: same tree
+                params = loaded
 
     fa, fv = extract_features(args, model_cfg, params, ds)
     rows = []
