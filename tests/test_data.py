@@ -201,3 +201,22 @@ def test_short_clip_fbank_padding_matches_reference(json_index, label_csv):
     assert 0 < n_valid < cfg.target_length
     assert np.allclose(fb[0, n_valid:], 0.0)  # reference-style zero rows
     assert not np.allclose(fb[0, :n_valid], 0.0)  # real content before
+
+
+def test_gen_weights_balances_rare_classes(tmp_path, label_csv):
+    """Rare-class samples get proportionally larger draw weights."""
+    import json as _json, sys
+    sys.path.insert(0, "scripts")
+    from gen_weights import compute_weights
+    data = {"data": ([{"wav": f"/a{i}.wav", "labels": "/m/0"}
+                      for i in range(9)]
+                     + [{"wav": "/b.wav", "labels": "/m/1"}])}
+    p = tmp_path / "w.json"
+    p.write_text(_json.dumps(data))
+    w = compute_weights(str(p), label_csv)
+    assert len(w) == 10
+    assert abs(w[-1] / w[0] - 9.0) < 1e-9  # 1 vs 9 occurrences
+    # end-to-end: rare sample drawn ~50% of the time under these weights
+    idx = weighted_indices(w, 2000, epoch=0)
+    frac_rare = (idx == 9).mean()
+    assert 0.4 < frac_rare < 0.6
