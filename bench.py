@@ -24,7 +24,20 @@ REF_A100_CLIPS_PER_SEC_EST = 180.0
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache (first run pays the ~5 min compile;
+    # repeats are fast if the runtime supports caching through the backend)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from avsiam_tpu.configs import (CAVMAEConfig, OptimizerConfig,
