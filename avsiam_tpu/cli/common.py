@@ -56,7 +56,29 @@ def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
         choices=["bfloat16", "float32"])
     arg("--attn_impl", type=str, default="auto",
         choices=["auto", "pallas", "xla"])
+    # device-mesh layout (the reference's torchrun world, SURVEY.md 2.5):
+    # data axis = DP (default all devices), model axis = optional TP headroom
+    arg("--mesh_data", type=int, default=-1,
+        help="mesh 'data' axis size; -1 = n_devices / mesh_model")
+    arg("--mesh_model", type=int, default=1,
+        help="mesh 'model' axis size (tensor parallelism)")
     return p
+
+
+def mesh_from_args(args):
+    """Initialize the distributed runtime and build the device mesh every
+    runner trains over (replaces torchrun + init_distributed_mode,
+    run_cavmae_pretrain_base.py:114 / utils.py:283-299)."""
+    from avsiam_tpu.configs import MeshConfig
+    from avsiam_tpu.parallel.dist import (initialize_multihost,
+                                          setup_rank0_printing)
+    from avsiam_tpu.parallel.mesh import make_mesh
+    info = initialize_multihost()
+    setup_rank0_printing()
+    mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    print(f"mesh: data={mesh.shape['data']} model={mesh.shape['model']} "
+          f"processes={info['process_count']}")
+    return mesh
 
 
 def audio_config_from_args(args, train: bool,

@@ -15,7 +15,7 @@ import numpy as np
 
 from avsiam_tpu.cli.common import (add_common_args, audio_config_from_args,
                                    dataset_from_args, dump_args, jnp_dtype,
-                                   optimizer_from_args)
+                                   mesh_from_args, optimizer_from_args)
 from avsiam_tpu.configs import FinetuneConfig
 from avsiam_tpu.train.loops import run_finetune
 
@@ -85,7 +85,10 @@ def main(argv=None):
     model_cfg = replace(model_cfg, vit=replace(
         model_cfg.vit, audio_length=args.target_length))
     mel = model_cfg.vit.mel_bins
+    mesh = mesh_from_args(args)
+    from avsiam_tpu.configs import MeshConfig
     cfg = FinetuneConfig(
+        mesh=MeshConfig(data=mesh.shape["data"], model=mesh.shape["model"]),
         model=model_cfg,
         audio=audio_config_from_args(args, train=True, num_mel_bins=mel),
         opt=optimizer_from_args(args), batch_size=args.batch_size,
@@ -109,6 +112,7 @@ def main(argv=None):
         weights = np.loadtxt(args.weight_file, delimiter=",")
     init_params = _load_init_params(args, cfg)
     out = run_finetune(cfg, train_ds, val_ds, init_params=init_params,
+                       mesh=mesh,
                        balance_weights=weights, wa=bool(args.wa),
                        wa_start=args.wa_start, wa_end=args.wa_end,
                        resume=args.resume,

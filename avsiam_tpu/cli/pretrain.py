@@ -12,7 +12,7 @@ import argparse
 
 from avsiam_tpu.cli.common import (add_common_args, audio_config_from_args,
                                    dataset_from_args, dump_args, jnp_dtype,
-                                   optimizer_from_args)
+                                   mesh_from_args, optimizer_from_args)
 from avsiam_tpu.configs import PretrainConfig
 from avsiam_tpu.train.loops import run_pretrain
 
@@ -38,6 +38,45 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_init_params(args, cfg: PretrainConfig):
+    """Initial parameters for pretraining. The reference's *default* start is
+    a timm ViT-B in21k checkpoint surgically adapted for audio
+    (cav_mae_base.py:236-303); ``--pretrain_path`` points at either that
+    torch .pth trunk or an orbax params dir saved by a previous pretrain."""
+    path = args.pretrain_path
+    if not path or path == "None":
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from avsiam_tpu.models import CAVMAEPretrain
+    model = CAVMAEPretrain(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    a = jnp.zeros((2, cfg.model.vit.audio_length, cfg.model.vit.mel_bins))
+    v = jnp.zeros((2, 3, cfg.model.vit.img_size, cfg.model.vit.img_size))
+    fresh = jax.jit(lambda r, a, v: model.init(
+        r, a, v, cfg.masking_ratio_a, cfg.masking_ratio,
+        mae_loss_weight=1.0, contrast_loss_weight=1.0))(
+            {"params": rng, "mask": rng, "perm": rng}, a, v)["params"]
+    if path.endswith(".pth"):
+        from avsiam_tpu.utils.torch_import import (build_pretrain_from_timm,
+                                                   load_torch_checkpoint)
+        sd = load_torch_checkpoint(path)
+        params = build_pretrain_from_timm(
+            sd, jax.device_get(fresh), depth=cfg.model.vit.depth,
+            num_audio_tokens=cfg.model.vit.num_audio_tokens)
+        print(f"initialized pretrain trunk from timm checkpoint {path}")
+        return params
+    import os
+
+    from avsiam_tpu.utils.checkpoint import restore_params
+    exp_dir, name = os.path.split(path.rstrip("/"))
+    exp_dir = os.path.dirname(exp_dir)  # strip 'models/'
+    params = restore_params(exp_dir, name, like=jax.device_get(fresh))
+    print(f"initialized pretrain params from {path}")
+    return params
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     dump_args(args, args.exp_dir)
@@ -50,7 +89,10 @@ def main(argv=None):
     model_cfg = replace(model_cfg, vit=replace(
         model_cfg.vit, audio_length=args.target_length))
     mel = model_cfg.vit.mel_bins
+    mesh = mesh_from_args(args)
+    from avsiam_tpu.configs import MeshConfig
     cfg = PretrainConfig(
+        mesh=MeshConfig(data=mesh.shape["data"], model=mesh.shape["model"]),
         model=model_cfg,
         audio=audio_config_from_args(args, train=True, num_mel_bins=mel),
         opt=optimizer_from_args(args), batch_size=args.batch_size,
@@ -77,7 +119,9 @@ def main(argv=None):
                  if args.probe_data_val else None)
     out = run_pretrain(cfg, train_ds, val_ds,
                        probe_train_ds=probe_train, probe_val_ds=probe_val,
-                       probe_n_class=args.n_class, resume=args.resume,
+                       probe_n_class=args.n_class,
+                       init_params=_load_init_params(args, cfg),
+                       mesh=mesh, resume=args.resume,
                        max_steps_per_epoch=args.max_steps_per_epoch)
     print("pretrain done:", {k: out[k] for k in ("best_epoch",)
                              if k in out})

@@ -28,10 +28,12 @@ MODEL_AXIS = "model"
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
-    n = len(devices)
+    avail = len(devices)
     model = max(1, cfg.model)
-    data = cfg.data if cfg.data > 0 else n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    data = cfg.data if cfg.data > 0 else avail // model
+    n = data * model
+    assert n <= avail, f"mesh {data}x{model} needs {n} > {avail} devices"
+    devices = devices[:n]  # explicit sub-meshes (e.g. 1x1 on an 8-CPU host)
     if n == 1:
         arr = np.array(devices).reshape(1, 1)
     else:

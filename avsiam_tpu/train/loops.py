@@ -49,6 +49,25 @@ def _fetch(metrics: Dict) -> Dict[str, float]:
     return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
 
+def _shard_state(state, mesh):
+    """Place a train state onto a mesh: params follow the TP param rules
+    (replicated when the 'model' axis is trivial — the reference's DP-only
+    layout, SURVEY.md section 2.5); optimizer moments and step are
+    replicated. GSPMD then derives the gradient psums/all-gathers from these
+    placements alone."""
+    from avsiam_tpu.parallel.mesh import param_shardings, replicated
+    repl = replicated(mesh)
+    placed = {}
+    for name, leaf_tree in state._asdict().items():
+        if name == "params":
+            placed[name] = jax.device_put(leaf_tree,
+                                          param_shardings(mesh, leaf_tree))
+        else:
+            placed[name] = jax.device_put(
+                leaf_tree, jax.tree_util.tree_map(lambda _: repl, leaf_tree))
+    return type(state)(**placed)
+
+
 def _epoch_loader(ds: AVDataset, cfg_batch: int, epoch: int, seed: int,
                   transform, rng, weights=None, frames_per_sample: int = 1,
                   sharding=None, train: bool = True):
@@ -84,8 +103,9 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
                  val_ds: Optional[AVDataset] = None,
                  probe_train_ds: Optional[AVDataset] = None,
                  probe_val_ds: Optional[AVDataset] = None,
-                 probe_n_class: int = 527,
-                 sharding=None, max_steps_per_epoch: Optional[int] = None,
+                 probe_n_class: int = 527, init_params=None,
+                 mesh=None, sharding=None,
+                 max_steps_per_epoch: Optional[int] = None,
                  resume: bool = False, log: Callable = print) -> Dict:
     from avsiam_tpu.utils.checkpoint import (restore_train_state,
                                              save_train_state)
@@ -95,6 +115,10 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
     transform = make_train_transform(cfg.audio, im_res=cfg.model.vit.img_size)
     fb, img, _ = transform(rng, *sample)
     state = pt.init_state(rng, model, cfg, (fb[:2], img[:2]))
+    if init_params is not None:
+        # timm-ViT / checkpoint initialization (the reference's default start,
+        # cav_mae_base.py:236-303); a --resume below still overrides it.
+        state = state._replace(params=init_params)
     start_epoch = 1
     if resume:
         latest = _latest_train_state_epoch(cfg.exp_dir)
@@ -103,6 +127,14 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
                                         f"train_state.{latest}", state)
             start_epoch = latest + 1
             log(f"resumed from epoch {latest}")
+    if mesh is not None:
+        from avsiam_tpu.parallel.mesh import batch_sharding
+        n_data = mesh.shape["data"]
+        assert cfg.batch_size % n_data == 0, (
+            f"global batch {cfg.batch_size} not divisible by mesh data "
+            f"axis {n_data}")
+        state = _shard_state(state, mesh)
+        sharding = batch_sharding(mesh)
     step_fn = pt.make_pretrain_step(model, cfg)
     eval_fn = pt.make_eval_step(model, cfg)
 
@@ -215,7 +247,8 @@ def validate_pretrain(eval_fn, params, val_ds: AVDataset, cfg: PretrainConfig,
 
 def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
                  val_ds: Optional[AVDataset] = None,
-                 init_params=None, balance_weights=None, sharding=None,
+                 init_params=None, balance_weights=None,
+                 mesh=None, sharding=None,
                  max_steps_per_epoch: Optional[int] = None,
                  wa: bool = False, wa_start: int = 1, wa_end: int = 5,
                  resume: bool = False, log: Callable = print) -> Dict:
@@ -237,6 +270,14 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
                                         f"train_state.{latest}", state)
             start_epoch = latest + 1
             log(f"resumed from epoch {latest}")
+    if mesh is not None:
+        from avsiam_tpu.parallel.mesh import batch_sharding
+        n_data = mesh.shape["data"]
+        assert cfg.batch_size % n_data == 0, (
+            f"global batch {cfg.batch_size} not divisible by mesh data "
+            f"axis {n_data}")
+        state = _shard_state(state, mesh)
+        sharding = batch_sharding(mesh)
     step_fn = ft.make_finetune_step(model, cfg)
     eval_fn = ft.make_ft_eval_step(model, cfg)
 

@@ -184,14 +184,15 @@ def vit_surgery_from_timm(sd: Dict, depth: int = 12,
     return tree
 
 
-def build_pretrain_from_timm(sd: Dict, fresh_params: Dict,
-                             depth: int = 12) -> Dict:
+def build_pretrain_from_timm(sd: Dict, fresh_params: Dict, depth: int = 12,
+                             num_audio_tokens: int = 512) -> Dict:
     """Initialize CAVMAEPretrain params from a timm ViT checkpoint exactly as
     the reference constructor does: vit = surgically-modified timm weights,
     ast = deepcopy(vit) (cav_mae_base.py:303), mm layers = copies of vit
     block 11 (:306-307), decoder keeps its fresh (zero/random) init."""
     import copy as _copy
-    vit = vit_surgery_from_timm(sd, depth=depth)
+    vit = vit_surgery_from_timm(sd, depth=depth,
+                                num_audio_tokens=num_audio_tokens)
     params = dict(fresh_params)
     params["vit"] = vit
     params["ast"] = _copy.deepcopy(vit)

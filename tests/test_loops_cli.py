@@ -94,17 +94,95 @@ def test_run_finetune_epoch_and_probe(tmp_path, index_json):
 
 
 def test_cli_pretrain_smoke(tmp_path, index_json):
+    # batch 8: the CLI now builds a mesh over all (8 virtual) devices by
+    # default, and the global batch must divide the mesh 'data' axis
     from avsiam_tpu.cli.pretrain import main
     path, csvp = index_json
     out = main([
         "--data-train", path, "--data-val", path, "--label-csv", csvp,
         "--n_class", "3", "--model", "tiny",
-        "--n-epochs", "1", "--batch-size", "4", "--frame_source", "synthetic",
+        "--n-epochs", "1", "--batch-size", "8", "--frame_source", "synthetic",
         "--max_steps_per_epoch", "1", "--exp-dir", str(tmp_path / "exp"),
         "--dtype", "float32", "--target_length", "128"])
     assert os.path.exists(tmp_path / "exp" / "args.json")
     assert os.path.exists(tmp_path / "exp" / "result.csv")
     assert os.path.exists(tmp_path / "exp" / "models" / "audio_model.1")
+
+
+def test_cli_pretrain_sharded_matches_unsharded(tmp_path, index_json):
+    """The default-sharded CLI run (mesh data=8) must reproduce the
+    single-device run's losses: GSPMD sharding is a layout choice, not a
+    numerics change (reference DP parity, traintest_cavmae_base.py:59)."""
+    from avsiam_tpu.cli.pretrain import main
+    path, csvp = index_json
+    common = [
+        "--data-train", path, "--data-val", path, "--label-csv", csvp,
+        "--n_class", "3", "--model", "tiny",
+        "--n-epochs", "1", "--batch-size", "8", "--frame_source", "synthetic",
+        "--max_steps_per_epoch", "2",
+        "--dtype", "float32", "--target_length", "128", "--n-print-steps", "1"]
+    out8 = main(common + ["--exp-dir", str(tmp_path / "d8"),
+                          "--mesh_data", "8"])
+    out1 = main(common + ["--exp-dir", str(tmp_path / "d1"),
+                          "--mesh_data", "1", "--mesh_model", "1"])
+    r8, r1 = out8["rows"][0], out1["rows"][0]
+    for k in ("loss", "loss_c", "eval_loss"):
+        np.testing.assert_allclose(r8[k], r1[k], rtol=2e-4, err_msg=k)
+
+
+def test_cli_pretrain_timm_init(tmp_path, index_json):
+    """--pretrain_path with a torch timm-format trunk must start training
+    from the surgery output (cav_mae_base.py:236-303): with lr=0, the saved
+    epoch-1 audio patch embed equals the RGB-channel mean of the checkpoint's
+    video patch embed."""
+    import torch
+
+    from avsiam_tpu.cli.pretrain import main
+    path, csvp = index_json
+    D = TINY_VIT.dim
+    torch.manual_seed(0)
+    sd = {"patch_embed.proj.weight": torch.randn(D, 3, 16, 16),
+          "patch_embed.proj.bias": torch.randn(D),
+          "pos_embed": torch.randn(1, 1 + TINY_VIT.num_video_tokens, D),
+          "cls_token": torch.randn(1, 1, D),
+          "norm.weight": torch.randn(D), "norm.bias": torch.randn(D)}
+    for i in range(TINY_VIT.depth):
+        p = f"blocks.{i}"
+        for n in ("norm1", "norm2"):
+            sd[f"{p}.{n}.weight"] = torch.randn(D)
+            sd[f"{p}.{n}.bias"] = torch.randn(D)
+        sd[f"{p}.attn.qkv.weight"] = torch.randn(3 * D, D)
+        sd[f"{p}.attn.qkv.bias"] = torch.randn(3 * D)
+        sd[f"{p}.attn.proj.weight"] = torch.randn(D, D)
+        sd[f"{p}.attn.proj.bias"] = torch.randn(D)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(4 * D, D)
+        sd[f"{p}.mlp.fc1.bias"] = torch.randn(4 * D)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(D, 4 * D)
+        sd[f"{p}.mlp.fc2.bias"] = torch.randn(D)
+    ckpt = str(tmp_path / "timm_tiny.pth")
+    torch.save(sd, ckpt)
+
+    out = main([
+        "--data-train", path, "--label-csv", csvp, "--n_class", "3",
+        "--model", "tiny", "--n-epochs", "1", "--batch-size", "8",
+        "--frame_source", "synthetic", "--max_steps_per_epoch", "1",
+        "--exp-dir", str(tmp_path / "exp"), "--dtype", "float32",
+        "--target_length", "128", "--lr", "0.0", "--pretrain_path", ckpt])
+    params = jax_device_get_params(out["state"].params)
+    w = sd["patch_embed.proj.weight"].numpy()
+    expected = w.mean(axis=1).transpose(1, 2, 0).reshape(-1, D)
+    np.testing.assert_allclose(
+        np.asarray(params["vit"]["patch_embed_a"]["proj"]["kernel"]),
+        expected, atol=1e-6)
+    # ast trunk is the deepcopy of the surgically-initialized vit trunk
+    np.testing.assert_allclose(
+        np.asarray(params["ast"]["patch_embed"]["proj"]["kernel"]),
+        np.asarray(params["vit"]["patch_embed"]["proj"]["kernel"]), atol=1e-6)
+
+
+def jax_device_get_params(params):
+    import jax
+    return jax.device_get(params)
 
 
 def test_cli_finetune_smoke(tmp_path, index_json):
@@ -113,7 +191,7 @@ def test_cli_finetune_smoke(tmp_path, index_json):
     out = main([
         "--data_train", path, "--data_val", path, "--label_csv", csvp,
         "--n_class", "3", "--model", "tiny",
-        "--n_epochs", "1", "--batch_size", "4", "--frame_source", "synthetic",
+        "--n_epochs", "1", "--batch_size", "8", "--frame_source", "synthetic",
         "--max_steps_per_epoch", "1", "--exp_dir", str(tmp_path / "ft"),
         "--dtype", "float32", "--target_length", "128"])
     assert os.path.exists(tmp_path / "ft" / "result.csv")
