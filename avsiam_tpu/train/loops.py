@@ -49,6 +49,50 @@ def _fetch(metrics: Dict) -> Dict[str, float]:
     return {k: float(v) for k, v in jax.device_get(metrics).items()}
 
 
+_accum_metrics = jax.jit(lambda acc, m: jax.tree_util.tree_map(
+    lambda a, x: a + x.astype(jnp.float32), acc, m))
+_metrics_f32 = jax.jit(lambda m: jax.tree_util.tree_map(
+    lambda x: x.astype(jnp.float32), m))
+
+
+class _MetricWindow:
+    """On-device accumulation of per-step metric sums between print points.
+
+    The reference updates loss meters and NaN-checks EVERY step
+    (traintest_cavmae_base.py:160-186). Fetching per step would force a host
+    sync each step; instead the sums ride along on device (one tiny fused
+    add per step) and are fetched at print cadence — meters then cover every
+    step, and a NaN (which poisons the sum) aborts within one print window.
+    """
+
+    def __init__(self):
+        self._sums = None
+        self.steps = 0
+        self.samples = 0
+        self.data_time = 0.0
+        self._start = time.time()
+
+    def push(self, metrics, batch_size: int, data_t: float):
+        self._sums = (_accum_metrics(self._sums, metrics)
+                      if self._sums is not None else _metrics_f32(metrics))
+        self.steps += 1
+        self.samples += batch_size
+        self.data_time += data_t
+
+    def flush(self):
+        """Fetch the window: (per-step averages, timing dict) or (None, {})."""
+        if self.steps == 0:
+            return None, {}
+        sums = _fetch(self._sums)
+        elapsed = time.time() - self._start
+        avg = {k: v / self.steps for k, v in sums.items()}
+        timing = {"elapsed": elapsed, "data": self.data_time,
+                  "samples": self.samples}
+        self._sums, self.steps, self.samples, self.data_time = None, 0, 0, 0.0
+        self._start = time.time()
+        return avg, timing
+
+
 def _shard_state(state, mesh):
     """Place a train state onto a mesh: params follow the TP param rules
     (replicated when the 'model' axis is trivial — the reference's DP-only
@@ -151,35 +195,52 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
     global_step = 0
 
     for epoch in range(start_epoch, cfg.n_epochs + 1):
+        for meter in meters.values():  # per-epoch reset (reference :256-264)
+            meter.reset()
         lr = pt.lr_for_epoch(cfg, epoch)
         loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
                                transform, jax.random.fold_in(rng, epoch),
                                sharding=sharding)
+
+        def flush_window(win) -> Optional[Dict[str, float]]:
+            avg, t = win.flush()
+            if avg is None:
+                return None
+            for k in ("loss", "loss_mae_a", "loss_mae_v", "loss_c"):
+                meters[k].update(avg[k], t["samples"])
+            meters["per_sample_time"].update(
+                t["elapsed"] / t["samples"], t["samples"])
+            meters["per_sample_data_time"].update(
+                t["data"] / t["samples"], t["samples"])
+            meters["per_sample_dnn_time"].update(
+                (t["elapsed"] - t["data"]) / t["samples"], t["samples"])
+            return avg
+
+        window = _MetricWindow()
         end_time = time.time()
         for i, (a, v, _) in enumerate(loader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
-            B = a.shape[0]
             data_t = time.time() - end_time
             state, metrics = step_fn(state, (a, v), rng, jnp.float32(lr))
+            window.push(metrics, a.shape[0], data_t)
             if (global_step % cfg.n_print_steps == 0) or i == 0:
-                m = _fetch(metrics)  # forces the chain; honest timing point
-                step_t = time.time() - end_time
-                for k in ("loss", "loss_mae_a", "loss_mae_v", "loss_c"):
-                    meters[k].update(m[k], B)
-                meters["per_sample_time"].update(step_t / B)
-                meters["per_sample_data_time"].update(data_t / B)
-                meters["per_sample_dnn_time"].update((step_t - data_t) / B)
+                m = flush_window(window)
                 log(f"Epoch [{epoch}][{i}] loss {m['loss']:.4f} "
                     f"mae_a {m['loss_mae_a']:.4f} mae_v {m['loss_mae_v']:.4f} "
                     f"c {m['loss_c']:.4f} c_acc {m['c_acc']:.3f} "
                     f"t/sample {meters['per_sample_time'].avg * 1000:.1f}ms")
                 mlog.log({"epoch": epoch, **m}, step=global_step)
-                if np.isnan(m["loss"]):
+                if np.isnan(meters["loss"].avg):
                     log("training diverged...")
                     return {"diverged": True, "epoch": epoch}
             global_step += 1
             end_time = time.time()
+        # tail flush: epoch meters (and result.csv below) cover EVERY step
+        flush_window(window)
+        if np.isnan(meters["loss"].avg):
+            log("training diverged...")
+            return {"diverged": True, "epoch": epoch}
 
         row = {"epoch": epoch, "lr": lr,
                **{k: meters[k].avg for k in
@@ -290,24 +351,33 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     loss_meter = AverageMeter()
 
     for epoch in range(start_epoch, cfg.n_epochs + 1):
+        loss_meter.reset()  # per-epoch meter reset (reference parity)
         lr = ft.lr_for_epoch(cfg, epoch)
         loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
                                transform, jax.random.fold_in(rng, epoch),
                                weights=balance_weights, sharding=sharding)
+        window = _MetricWindow()
         for i, (a, v, y) in enumerate(loader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             if v.ndim == 4:
                 v = v[:, None]
             state, metrics = step_fn(state, (a, v, y), rng, jnp.float32(lr))
+            window.push(metrics, a.shape[0], 0.0)
             if global_step % cfg.n_print_steps == 0:
-                m = _fetch(metrics)
-                loss_meter.update(m["loss"], a.shape[0])
+                m, t = window.flush()
+                loss_meter.update(m["loss"], t["samples"])
                 log(f"FT epoch [{epoch}][{i}] loss {m['loss']:.4f}")
                 if np.isnan(loss_meter.avg):
                     log("training diverged...")
                     return {"diverged": True, "epoch": epoch}
             global_step += 1
+        m, t = window.flush()  # tail: epoch average covers every step
+        if m is not None:
+            loss_meter.update(m["loss"], t["samples"])
+        if np.isnan(loss_meter.avg):
+            log("training diverged...")
+            return {"diverged": True, "epoch": epoch}
 
         row = {"epoch": epoch, "lr": lr, "train_loss": loss_meter.avg}
         if val_ds is not None:

@@ -185,6 +185,70 @@ def jax_device_get_params(params):
     return jax.device_get(params)
 
 
+def test_nan_divergence_abort(tmp_path, index_json, monkeypatch):
+    """A NaN loss must abort within one print window (reference checks the
+    meter every step, traintest_cavmae_base.py:184-186; here the NaN poisons
+    the on-device window sum)."""
+    import jax.numpy as jnp
+
+    from avsiam_tpu.train import pretrain as pt
+    from avsiam_tpu.train.loops import run_pretrain
+    real = pt.make_pretrain_step
+
+    def nan_step(model, cfg):
+        fn = real(model, cfg)
+
+        def wrapped(state, batch, rng, lr):
+            state, metrics = fn(state, batch, rng, lr)
+            metrics = dict(metrics)
+            metrics["loss"] = metrics["loss"] * jnp.nan
+            return state, metrics
+
+        return wrapped
+
+    monkeypatch.setattr(pt, "make_pretrain_step", nan_step)
+    cfg = PretrainConfig(model=CAVMAEConfig(vit=TINY_VIT, decoder=TINY_DEC),
+                         audio=TINY_AUDIO, opt=OptimizerConfig(lr=1e-4),
+                         batch_size=4, n_epochs=1, n_print_steps=2,
+                         exp_dir=str(tmp_path / "exp"))
+    out = run_pretrain(cfg, _ds(index_json), max_steps_per_epoch=2,
+                       log=lambda *a: None)
+    assert out.get("diverged") is True
+
+
+def test_meters_cover_every_step(tmp_path, index_json, monkeypatch):
+    """result.csv epoch averages must cover EVERY step, not just print
+    steps: with loss forced to the step counter (0, 1, 2) and a print cadence
+    longer than the epoch, the epoch average is exactly 1.0."""
+    import jax.numpy as jnp
+
+    from avsiam_tpu.train import pretrain as pt
+    from avsiam_tpu.train.loops import run_pretrain
+    real = pt.make_pretrain_step
+
+    def counting_step(model, cfg):
+        fn = real(model, cfg)
+
+        def wrapped(state, batch, rng, lr):
+            # input state is donated by the jitted step; recover the step
+            # counter from the returned state (new step = old step + 1)
+            state, metrics = fn(state, batch, rng, lr)
+            metrics = dict(metrics)
+            metrics["loss"] = (state.step - 1).astype(jnp.float32)
+            return state, metrics
+
+        return wrapped
+
+    monkeypatch.setattr(pt, "make_pretrain_step", counting_step)
+    cfg = PretrainConfig(model=CAVMAEConfig(vit=TINY_VIT, decoder=TINY_DEC),
+                         audio=TINY_AUDIO, opt=OptimizerConfig(lr=1e-4),
+                         batch_size=2, n_epochs=1, n_print_steps=1000,
+                         exp_dir=str(tmp_path / "exp"))
+    out = run_pretrain(cfg, _ds(index_json), max_steps_per_epoch=3,
+                       log=lambda *a: None)
+    np.testing.assert_allclose(out["rows"][0]["loss"], 1.0, atol=1e-6)
+
+
 def test_cli_finetune_smoke(tmp_path, index_json):
     from avsiam_tpu.cli.finetune import main
     path, csvp = index_json
