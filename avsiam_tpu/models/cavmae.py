@@ -393,6 +393,10 @@ class CAVMAEPretrain(nn.Module):
                 temperature=c.contrast_temp, bidirect=True,
                 axis_name=axis_name)
             loss_c = contrast_loss_weight * loss_c
+            # parity: the mmixed call at cav_mae_base.py:722 OVERWRITES
+            # mask_a/mask_v with forward_encoder_mmixed's returns — which are
+            # None (cav_mae_base.py:594) — even when the MAE branch also ran
+            mask_a = mask_v = None
         else:
             loss_c = c_acc = zero
 

@@ -36,7 +36,16 @@ def test_pretrain_forward_losses_finite():
     assert jnp.isfinite(loss)
     assert jnp.isfinite(loss_c)
     assert jnp.allclose(loss, loss_mae + loss_c, rtol=1e-5)
-    # masks: 75% removed
+    # when the contrastive branch runs, the mmixed call overwrites the masks
+    # with its None returns (cav_mae_base.py:594,722)
+    assert mask_a is None and mask_v is None
+
+    # MAE-only forward returns the real masks: 75% removed (hardcoded ratio,
+    # cav_mae_base.py:696)
+    out = model.apply(params, a, v, 0.25, 0.25, 1.0, 0.0,
+                      rngs={"mask": jax.random.PRNGKey(1),
+                            "perm": jax.random.PRNGKey(2)})
+    mask_a, mask_v = out[5], out[6]
     La = TINY_VIT.num_audio_tokens
     Lv = TINY_VIT.num_video_tokens
     assert mask_a.shape == (6, La)
