@@ -55,29 +55,83 @@ def test_masked_encode_equals_gathered_encode():
     np.testing.assert_allclose(out_p, out_e, atol=2e-5, rtol=1e-4)
 
 
-def test_padded_and_exact_mmixed_close_in_distribution():
-    """Same RNG draws differ between impls, but the contrastive losses must
-    be in the same range (both are valid multi-ratio InfoNCE estimates)."""
-    losses = {}
-    for impl in ("padded", "exact"):
-        cfg = CAVMAEConfig(vit=TINY, mmixed_impl=impl,
-                           decoder=DecoderConfig(dim=16, depth=1, num_heads=2))
-        model = CAVMAEPretrain(cfg)
-        rng = jax.random.PRNGKey(0)
-        a = jax.random.normal(rng, (5, TINY.audio_length, TINY.mel_bins))
-        v = jax.random.normal(rng, (5, 3, TINY.img_size, TINY.img_size))
-        params = model.init({"params": rng, "mask": rng, "perm": rng}, a, v,
-                            mae_loss_weight=0.0, contrast_loss_weight=1.0)
-        out = model.apply(params, a, v, 0.25, 0.25, 0.0, 1.0,
-                          rngs={"mask": jax.random.PRNGKey(1),
-                                "perm": jax.random.PRNGKey(2)})
-        losses[impl] = float(out[4])
-    # temp 0.05 makes random-init NCE noisy; assert both are finite,
-    # positive, and within an order of magnitude of each other
-    for impl, loss in losses.items():
-        assert np.isfinite(loss) and 0.0 < loss < 50.0, (impl, loss)
-    ratio = losses["padded"] / losses["exact"]
-    assert 0.1 < ratio < 10.0, losses
+def test_mmixed_padded_equals_exact_full_forward():
+    """Inject IDENTICAL keep masks + permutations into the padded and exact
+    mmixed paths: the per-sample embeddings AND the resulting InfoNCE loss
+    must agree to float tolerance. This is the end-to-end proof that the
+    single batched masked encode is the reference's 5-chunk variable-length
+    encode (cav_mae_base.py:533-594), not merely close in distribution."""
+    from avsiam_tpu.models.cavmae import chunk_sizes
+    from avsiam_tpu.ops.contrastive import info_nce_gathered
+
+    cfg, model, params, a, v = _setup()
+    B = 5
+    rng = jax.random.PRNGKey(3)
+    a = jax.random.normal(rng, (B, TINY.audio_length, TINY.mel_bins))
+    v = jax.random.normal(jax.random.fold_in(rng, 1),
+                          (B, 3, TINY.img_size, TINY.img_size))
+    La, Lv = TINY.num_audio_tokens, TINY.num_video_tokens
+    sizes = chunk_sizes(B, 5)
+    ratios = [0.2 * i for i in range(len(sizes))]
+    keeps_a = [mk.len_keep_for(La, r) for r in ratios]
+    keeps_v = [mk.len_keep_for(Lv, r) for r in ratios]
+
+    rs = np.random.RandomState(0)
+    perm_a = np.asarray(rs.permutation(B))
+    perm_v = np.asarray(rs.permutation(B))
+    # chunk id of each SAMPLE (position along the permutation -> chunk)
+    chunk_of_pos = np.repeat(np.arange(len(sizes)), sizes)
+    chunk_a = np.zeros(B, np.int64)
+    chunk_a[perm_a] = chunk_of_pos
+    chunk_v = np.zeros(B, np.int64)
+    chunk_v[perm_v] = chunk_of_pos
+
+    def rand_keep(L, count):
+        m = np.zeros(L, np.float32)
+        m[rs.permutation(L)[:count]] = 1.0
+        return m
+
+    keep_a = jnp.asarray(np.stack([rand_keep(La, keeps_a[chunk_a[b]])
+                                   for b in range(B)]))
+    keep_v = jnp.asarray(np.stack([rand_keep(Lv, keeps_v[chunk_v[b]])
+                                   for b in range(B)]))
+
+    def padded(mdl):
+        ca = mdl._encode_contrastive(mdl.vit.embed_audio(a), "a", keep_a)
+        cv = mdl._encode_contrastive(mdl.vit.embed_video(v), "v", keep_v)
+        return ca, cv
+
+    def exact(mdl):
+        ta, tv = mdl.vit.embed_audio(a), mdl.vit.embed_video(v)
+        a_parts, v_parts, off = [], [], 0
+        for i, size in enumerate(sizes):
+            rows_a = [ta[int(perm_a[off + j]),
+                         jnp.nonzero(keep_a[int(perm_a[off + j])],
+                                     size=keeps_a[i])[0]]
+                      for j in range(size)]
+            rows_v = [tv[int(perm_v[off + j]),
+                         jnp.nonzero(keep_v[int(perm_v[off + j])],
+                                     size=keeps_v[i])[0]]
+                      for j in range(size)]
+            a_parts.append(mdl._encode_contrastive(jnp.stack(rows_a), "a"))
+            v_parts.append(mdl._encode_contrastive(jnp.stack(rows_v), "v"))
+            off += size
+        ca = jnp.concatenate(a_parts, axis=0)[jnp.argsort(jnp.asarray(perm_a))]
+        cv = jnp.concatenate(v_parts, axis=0)[jnp.argsort(jnp.asarray(perm_v))]
+        return ca, cv
+
+    ca_p, cv_p = model.apply(params, method=padded)
+    ca_e, cv_e = model.apply(params, method=exact)
+    np.testing.assert_allclose(np.asarray(ca_p), np.asarray(ca_e),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cv_p), np.asarray(cv_e),
+                               atol=2e-5, rtol=1e-4)
+    loss_p, acc_p = info_nce_gathered(ca_p.mean(axis=1), cv_p.mean(axis=1),
+                                      temperature=0.05, bidirect=True)
+    loss_e, acc_e = info_nce_gathered(ca_e.mean(axis=1), cv_e.mean(axis=1),
+                                      temperature=0.05, bidirect=True)
+    np.testing.assert_allclose(float(loss_p), float(loss_e), rtol=1e-5)
+    np.testing.assert_allclose(float(acc_p), float(acc_e))
 
 
 def test_keep_counts_per_ratio():

@@ -94,3 +94,54 @@ def test_dp_sharded_pretrain_step_matches_unsharded():
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=5e-4, atol=1e-5,
                                    err_msg=k)
+
+
+def test_tp_sharded_pretrain_step_matches_replicated():
+    """Tensor parallelism (mesh 'model' axis, Megatron qkv/fc sharding rules)
+    is a pure layout choice: a 4x2 DPxTP step must reproduce the replicated
+    step's losses AND parameter updates."""
+    from avsiam_tpu.models import CAVMAEPretrain
+    from avsiam_tpu.train.loops import _shard_state
+    from avsiam_tpu.train.pretrain import init_state, make_pretrain_step
+    vit = ViTConfig(dim=32, depth=2, num_heads=2, patch_size=16, img_size=32,
+                    audio_length=128, mel_bins=32)
+    cfg = PretrainConfig(
+        model=CAVMAEConfig(vit=vit, decoder=DecoderConfig(dim=16, depth=1,
+                                                          num_heads=2)),
+        opt=OptimizerConfig(lr=1e-3), batch_size=8)
+    model = CAVMAEPretrain(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    a = jax.random.normal(rng, (8, vit.audio_length, vit.mel_bins))
+    v = jax.random.normal(rng, (8, 3, vit.img_size, vit.img_size))
+    step = make_pretrain_step(model, cfg)
+    ref_state, m_ref = step(init_state(rng, model, cfg, (a, v)), (a, v), rng,
+                            jnp.float32(1e-3))
+    ref = {k: float(val) for k, val in m_ref.items()}
+    ref_qkv = np.asarray(jax.device_get(
+        ref_state.params["vit"]["blocks_0"]["attn"]["qkv"]["kernel"]))
+    ref_fc2 = np.asarray(jax.device_get(
+        ref_state.params["vit"]["blocks_0"]["mlp"]["fc2"]["kernel"]))
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    state1 = _shard_state(init_state(rng, model, cfg, (a, v)), mesh)
+    qkv_sharding = state1.params["vit"]["blocks_0"]["attn"]["qkv"][
+        "kernel"].sharding
+    assert qkv_sharding.spec == P(None, "model"), qkv_sharding
+    bs = batch_sharding(mesh)
+    with mesh:
+        new_state, m_sh = step(state1, (jax.device_put(a, bs),
+                                        jax.device_put(v, bs)), rng,
+                               jnp.float32(1e-3))
+    got = {k: float(val) for k, val in m_sh.items()}
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=5e-4, atol=1e-5,
+                                   err_msg=k)
+    # updated params match leaf-for-leaf across the TP layout
+    got_qkv = np.asarray(jax.device_get(
+        new_state.params["vit"]["blocks_0"]["attn"]["qkv"]["kernel"]))
+    got_fc2 = np.asarray(jax.device_get(
+        new_state.params["vit"]["blocks_0"]["mlp"]["fc2"]["kernel"]))
+    # row-parallel fc2 accumulates partial sums via psum -> different f32
+    # reduction order than the replicated matmul; tolerance matches that
+    np.testing.assert_allclose(got_qkv, ref_qkv, rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(got_fc2, ref_fc2, rtol=5e-4, atol=1e-5)
