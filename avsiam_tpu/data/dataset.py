@@ -83,6 +83,10 @@ class AVDataset:
         if self.frame_source == "synthetic":
             rng = np.random.RandomState(abs(hash(rec.wav)) % (2 ** 31))
             w = rng.randn(self.num_samples_audio).astype(np.float32) * 0.05
+        elif media.is_video_container(rec.wav):
+            # audio read straight out of the video container (the reference
+            # FT loader's path, dataloader_ft.py:272-278)
+            w = media.decode_audio(rec.wav, self.audio_conf.sample_rate)
         else:
             x, sr = media.read_wav(rec.wav)
             x = media.to_mono(x)

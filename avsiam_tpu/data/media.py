@@ -121,6 +121,31 @@ def have_ffmpeg() -> bool:
     return _FFMPEG is not None
 
 
+_VIDEO_EXTS = {".mp4", ".mkv", ".avi", ".mov", ".webm", ".m4v"}
+
+
+def is_video_container(path: str) -> bool:
+    return os.path.splitext(path)[1].lower() in _VIDEO_EXTS
+
+
+def decode_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
+    """Extract a media container's audio track as mono float32 at
+    ``sample_rate`` (ffmpeg ``-vn -f f32le -ac 1 -ar N``).
+
+    Parity: the reference finetune loader reads the waveform directly out of
+    the .mp4 (src/dataloader_ft.py:272-278: torchaudio.load on the video
+    file, resample to 16 kHz, channel-mean downmix). Requires ffmpeg; callers
+    must gate on ``have_ffmpeg()``.
+    """
+    if _FFMPEG is None:
+        raise RuntimeError("ffmpeg not available for audio decode")
+    out = subprocess.run(
+        [_FFMPEG, "-v", "error", "-i", path, "-vn", "-f", "f32le",
+         "-ac", "1", "-ar", str(sample_rate), "-"],
+        capture_output=True, check=True)
+    return np.frombuffer(out.stdout, dtype=np.float32).copy()
+
+
 def decode_video_frames(path: str, num_frames: int = 10,
                         start_jitter: int = 0,
                         size: Optional[Tuple[int, int]] = None) -> np.ndarray:

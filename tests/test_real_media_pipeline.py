@@ -51,6 +51,41 @@ def media_dataset(tmp_path):
     return str(idx), str(csvp)
 
 
+def test_audio_from_mp4(tmp_path):
+    """FT audio-from-video-container path (dataloader_ft.py:272-278): the
+    waveform is extracted from the .mp4 itself, resampled to 16 kHz, mono.
+    Gated on ffmpeg (used for both generation and decode)."""
+    import json
+    import subprocess
+
+    from avsiam_tpu.data import media
+    if not media.have_ffmpeg():
+        pytest.skip("ffmpeg not available on this host")
+    mp4 = str(tmp_path / "clip.mp4")
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi",
+         "-i", "sine=frequency=440:sample_rate=44100:duration=1",
+         "-f", "lavfi", "-i", "color=c=red:s=64x64:d=1:r=10",
+         "-shortest", mp4], check=True)
+    w = media.decode_audio(mp4, 16000)
+    assert 15000 < len(w) < 17000  # ~1 s at 16 kHz after resample
+    assert np.abs(w).max() > 0.1  # a real sine, not silence
+
+    # and the dataset routes .mp4 records through it
+    from avsiam_tpu.data.dataset import AVDataset
+    idx = tmp_path / "idx.json"
+    idx.write_text(json.dumps({"data": [{"wav": mp4, "labels": "/m/0",
+                                         "video_id": "clip",
+                                         "video_path": mp4}]}))
+    csvp = tmp_path / "labels.csv"
+    csvp.write_text("index,mid,display_name\n0,/m/0,a\n")
+    ds = AVDataset(str(idx), AUDIO, label_csv=csvp, mode="train",
+                   frame_source="video", im_res=TINY.img_size, num_frames=10)
+    wav, wav_len = ds._load_waveform(ds.index[0])
+    assert wav_len == min(len(w), ds.num_samples_audio)
+    assert np.isfinite(wav).all() and np.abs(wav).max() > 0.1
+
+
 def test_real_media_to_finetune_step(media_dataset):
     from avsiam_tpu.data import native_dsp
     from avsiam_tpu.data.dataset import AVDataset, make_train_transform
