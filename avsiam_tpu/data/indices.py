@@ -15,6 +15,7 @@ from __future__ import annotations
 import csv
 import json
 import sqlite3
+import threading
 from dataclasses import dataclass
 from typing import Dict, Sequence
 
@@ -63,20 +64,29 @@ class JsonIndex(SampleIndex):
 
 class SqliteIndex(SampleIndex):
     """Read-only sqlite index; row schema (id, wav, labels) in table 'annos'.
-    Parity: src/dataloader.py:174-191 + decode_data (:213-217)."""
+    Parity: src/dataloader.py:174-191 + decode_data (:213-217).
+
+    Connections are per-thread: sqlite cursors are not thread-safe, and two
+    concurrent loaders (e.g. the train Prefetcher thread plus a probe loader
+    on the main thread) read the same index."""
 
     def __init__(self, path: str):
         self._path = path
-        self._con = sqlite3.connect(f"file:{path}?mode=ro", uri=True,
-                                    check_same_thread=False)
-        self._cur = self._con.cursor()
-        self._n = self._cur.execute("SELECT COUNT(*) FROM annos").fetchone()[0]
+        self._local = threading.local()
+        self._n = self._cursor().execute(
+            "SELECT COUNT(*) FROM annos").fetchone()[0]
+
+    def _cursor(self):
+        if not hasattr(self._local, "cur"):
+            con = sqlite3.connect(f"file:{self._path}?mode=ro", uri=True)
+            self._local.cur = con.cursor()
+        return self._local.cur
 
     def __len__(self):
         return self._n
 
     def __getitem__(self, i):
-        row = self._cur.execute(
+        row = self._cursor().execute(
             "SELECT * FROM annos WHERE id = ?", (i,)).fetchone()
         return Record(wav=row[1], labels=row[2] if len(row) > 2 else "")
 

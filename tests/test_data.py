@@ -53,6 +53,26 @@ def test_json_and_sqlite_index(tmp_path, json_index):
     assert sidx[2].wav == "/fake/2.wav"
     assert sidx[2].labels == "/m/1"
 
+    # concurrent readers (train Prefetcher thread + probe loader) must not
+    # race: connections are per-thread
+    import threading
+    errors = []
+
+    def hammer():
+        try:
+            for _ in range(200):
+                for i in range(7):
+                    assert sidx[i].wav == f"/fake/{i}.wav"
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
 
 def test_labels_multihot(label_csv):
     d = make_index_dict(label_csv)
