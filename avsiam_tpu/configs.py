@@ -97,6 +97,7 @@ class CAVMAEConfig:
     mmixed_impl: str = "padded"
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    mlp_impl: str = "dense"  # 'dense' (XLA) | 'fused' (Pallas fc1+GELU+fc2)
     remat_blocks: bool = False  # jax.checkpoint each encoder block
 
 
@@ -110,6 +111,7 @@ class CAVMAEFTConfig:
     num_eval_frames: int = 10  # eval loops over 10 frames (cav_mae_base.py:961)
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    mlp_impl: str = "dense"
     remat_blocks: bool = False
 
 

@@ -87,7 +87,7 @@ class MAEDecoder(nn.Module):
         self.blocks = [
             ModalityBlock(d.dim, d.num_heads, d.mlp_ratio, True, d.ln_eps,
                           self.dtype, c.attn_impl, c.vit.gelu_approx,
-                          name=f"blocks_{i}")
+                          c.mlp_impl, name=f"blocks_{i}")
             for i in range(d.depth)
         ]
         self.norm = LayerNormFP32(epsilon=d.ln_eps, dtype=self.dtype,
@@ -133,17 +133,17 @@ class CAVMAEPretrain(nn.Module):
     def setup(self):
         c = self.cfg
         self.vit = SiameseViT(c.vit, c.dtype, c.attn_impl, c.embed_double,
-                              c.remat_blocks, name="vit")
+                              c.remat_blocks, c.mlp_impl, name="vit")
         self.ast = SiameseViT(c.vit, c.dtype, c.attn_impl, c.embed_double,
-                              c.remat_blocks, name="ast")
+                              c.remat_blocks, c.mlp_impl, name="ast")
         self.mm_layer_1 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
             c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
-            name="mm_layer_1")
+            c.mlp_impl, name="mm_layer_1")
         self.mm_layer_2 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
             c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
-            name="mm_layer_2")
+            c.mlp_impl, name="mm_layer_2")
         self.decoder = MAEDecoder(c, c.dtype, name="decoder")
 
     def _materialize_all_params(self, audio, imgs):
@@ -210,6 +210,8 @@ class CAVMAEPretrain(nn.Module):
 
         if c.mmixed_impl == "exact":
             ca, cv = self._mmixed_exact(a, v, perm_a, perm_v, sizes, ratios)
+        elif c.mmixed_impl == "packed":
+            ca, cv = self._mmixed_packed(a, v, perm_a, perm_v, sizes, ratios)
         else:
             ca, cv = self._mmixed_padded(a, v, perm_a, perm_v, sizes, ratios)
         return ca, cv
@@ -245,6 +247,69 @@ class CAVMAEPretrain(nn.Module):
         ca = jnp.concatenate(a_parts, axis=0)
         cv = jnp.concatenate(v_parts, axis=0)
         # inverse-permute back to input order (cav_mae_base.py:575-590)
+        ca = jnp.take(ca, jnp.argsort(perm_a), axis=0)
+        cv = jnp.take(cv, jnp.argsort(perm_v), axis=0)
+        return ca, cv
+
+    def _mmixed_packed(self, a, v, perm_a, perm_v, sizes, ratios):
+        """TPU fast path: the chunked encode's exact FLOPs, restructured for
+        the MXU. The per-token work (LN, qkv/proj, MLP) runs over ONE packed
+        token array covering BOTH modalities and all 5 chunks — legal because
+        attention/MLP weights are shared across modalities (the siamese
+        mechanism) and chunk boundaries are static — while the attention core
+        runs per chunk on static slices of the packed qkv. Identical math to
+        ``_mmixed_exact`` under the same RNG draws (tested); ~10 medium GEMM
+        dispatches per block collapse into 3 large ones.
+        """
+        c = self.cfg
+        f, t = c.vit.audio_grid
+        Lv = v.shape[1]
+        D = a.shape[-1]
+        # identical chunk gathers + masking draws as _mmixed_exact
+        a_parts, v_parts = [], []
+        off = 0
+        for i, size in enumerate(sizes):
+            idx_a = jax.lax.dynamic_slice_in_dim(perm_a, off, size)
+            idx_v = jax.lax.dynamic_slice_in_dim(perm_v, off, size)
+            a_i = jnp.take(a, idx_a, axis=0)
+            v_i = jnp.take(v, idx_v, axis=0)
+            a_i, _, _ = mk.random_masking_structured(
+                self.make_rng("mask"), a_i, ratios[i], t=t, f=f, mode="tf")
+            v_i, _, _ = mk.random_masking(
+                self.make_rng("mask"), v_i, mk.len_keep_for(Lv, ratios[i]))
+            a_parts.append(a_i)
+            v_parts.append(v_i)
+            off += size
+
+        parts = a_parts + v_parts
+        segs = [(p.shape[0], p.shape[1]) for p in parts]  # static
+        offs = []
+        o = 0
+        for s, l in segs:
+            offs.append(o)
+            o += s * l
+        n_audio = sum(s * l for s, l in segs[:len(a_parts)])
+        x = jnp.concatenate([p.reshape(-1, D) for p in parts], axis=0)
+
+        def routed(x, norm_a, norm_v):
+            return jnp.concatenate([norm_a(x[:n_audio]),
+                                    norm_v(x[n_audio:])], axis=0)
+
+        for blk in self.vit.blocks:
+            qkv = blk.attn.qkv(routed(x, blk.norm1_a, blk.norm1_v))
+            outs = []
+            for (s, l), o in zip(segs, offs):
+                seg = qkv[o:o + s * l].reshape(s, l, -1)
+                out, _ = blk.attn.attend(seg)
+                outs.append(out.reshape(s * l, D))
+            x = x + blk.attn.proj(jnp.concatenate(outs, axis=0))
+            x = x + blk.mlp(routed(x, blk.norm2_a, blk.norm2_v))
+
+        x = routed(x, self.vit.norm_a, self.vit.norm)
+        pooled = [x[o:o + s * l].reshape(s, l, D).mean(axis=1, keepdims=True)
+                  for (s, l), o in zip(segs, offs)]
+        ca = jnp.concatenate(pooled[:len(a_parts)], axis=0)
+        cv = jnp.concatenate(pooled[len(a_parts):], axis=0)
         ca = jnp.take(ca, jnp.argsort(perm_a), axis=0)
         cv = jnp.take(cv, jnp.argsort(perm_v), axis=0)
         return ca, cv

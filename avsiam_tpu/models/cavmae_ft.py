@@ -54,7 +54,7 @@ class CAVMAEFinetune(nn.Module):
     def setup(self):
         c = self.cfg
         self.vit = SiameseViT(c.vit, c.dtype, c.attn_impl, c.embed_double,
-                              c.remat_blocks, name="vit")
+                              c.remat_blocks, c.mlp_impl, name="vit")
         self.mlp_head = MlpHead(c.label_dim, c.dtype, name="mlp_head")
         self.mlp_head_a = MlpHead(c.label_dim, c.dtype, name="mlp_head_a")
         self.mlp_head_mm = MlpHead(c.label_dim, c.dtype, name="mlp_head_mm")
@@ -63,11 +63,11 @@ class CAVMAEFinetune(nn.Module):
         self.mm_layer_1 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
             c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
-            name="mm_layer_1")
+            c.mlp_impl, name="mm_layer_1")
         self.mm_layer_2 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
             c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
-            name="mm_layer_2")
+            c.mlp_impl, name="mm_layer_2")
 
     # ------------------------------------------------------------------
     def encode_audio(self, a):

@@ -47,22 +47,50 @@ class LayerNormFP32(nn.Module):
         return y.astype(self.dtype)
 
 
+class DenseParams(nn.Module):
+    """Holds a Dense layer's params (same tree/init as nn.Dense: 'kernel'
+    lecun-normal [in, out], 'bias' zeros) without binding the compute — the
+    fused MLP kernel consumes the raw weights."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features),
+                                 jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+
 class Mlp(nn.Module):
-    """timm Mlp parity: fc1 -> GELU (exact erf by default) -> fc2."""
+    """timm Mlp parity: fc1 -> GELU (exact erf by default) -> fc2.
+
+    impl='fused' runs the Pallas fused kernel (ops/mlp.py): the [*, 4D]
+    hidden never leaves VMEM. 'dense' is the plain XLA two-GEMM form."""
 
     dim: int
     hidden_dim: int
     dtype: Dtype = jnp.float32
     gelu_approx: bool = False
+    impl: str = "dense"
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = DenseParams(self.dim, self.hidden_dim)
+        self.fc2 = DenseParams(self.hidden_dim, self.dim)
+
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="fc1")(x)
+        dt = self.dtype
+        x = x.astype(dt)
+        if self.impl == "fused":
+            from avsiam_tpu.ops.mlp import fused_mlp
+            return fused_mlp(x, self.fc1.kernel, self.fc1.bias,
+                             self.fc2.kernel, self.fc2.bias,
+                             gelu_approx=self.gelu_approx)
+        x = jnp.dot(x, self.fc1.kernel.astype(dt)) + self.fc1.bias.astype(dt)
         # torch nn.GELU() is exact erf; tanh approximation available for perf
         x = nn.gelu(x, approximate=self.gelu_approx)
-        x = nn.Dense(self.dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="fc2")(x)
+        x = jnp.dot(x, self.fc2.kernel.astype(dt)) + self.fc2.bias.astype(dt)
         return x
 
 
@@ -70,6 +98,10 @@ class Attention(nn.Module):
     """MHSA with fused qkv; dispatches to Pallas/XLA fused attention.
 
     Parity: cav_mae_base.py:31-83 (scale = head_dim**-0.5, fused SDPA).
+
+    setup-style so the packed mmixed encoder (models/cavmae.py) can drive the
+    qkv/proj projections over a token-packed layout while running the
+    attention core per chunk; param names ('qkv', 'proj') are unchanged.
     """
 
     dim: int
@@ -78,20 +110,26 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
-    def __call__(self, x, key_valid: Optional[jnp.ndarray] = None,
-                 tome: bool = False):
-        B, N, C = x.shape
+    def setup(self):
+        self.qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias,
+                            dtype=self.dtype, param_dtype=jnp.float32)
+        self.proj = nn.Dense(self.dim, dtype=self.dtype,
+                             param_dtype=jnp.float32)
+
+    def attend(self, qkv, key_valid: Optional[jnp.ndarray] = None):
+        """[B, N, 3C] fused projections -> [B, N, C] attention output."""
+        B, N, _ = qkv.shape
         H = self.num_heads
-        D = C // H
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="qkv")(x)
+        D = self.dim // H
         qkv = qkv.reshape(B, N, 3, H, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = attention(q, k, v, key_valid=key_valid, impl=self.attn_impl)
-        out = out.reshape(B, N, C)
-        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
-                       name="proj")(out)
+        return out.reshape(B, N, self.dim), k
+
+    def __call__(self, x, key_valid: Optional[jnp.ndarray] = None,
+                 tome: bool = False):
+        out, k = self.attend(self.qkv(x), key_valid=key_valid)
+        out = self.proj(out)
         if tome:
             # mean-head keys as the ToMe matching metric
             # (cav_mae_base.py:80-81 ``return x, k.mean(1)``)
@@ -119,6 +157,7 @@ class ModalityBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     gelu_approx: bool = False
+    mlp_impl: str = "dense"
 
     def setup(self):
         mk = lambda name: LayerNormFP32(epsilon=self.ln_eps, dtype=self.dtype,
@@ -132,7 +171,7 @@ class ModalityBlock(nn.Module):
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.dtype, self.attn_impl, name="attn")
         self.mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
-                       self.gelu_approx, name="mlp")
+                       self.gelu_approx, self.mlp_impl, name="mlp")
 
     def __call__(self, x, modality: Optional[str] = None,
                  key_valid: Optional[jnp.ndarray] = None, r: int = 0):
@@ -209,6 +248,7 @@ class SiameseViT(nn.Module):
     attn_impl: str = "auto"
     embed_double: bool = True
     remat: bool = False
+    mlp_impl: str = "dense"
 
     def setup(self):
         c = self.cfg
@@ -227,7 +267,7 @@ class SiameseViT(nn.Module):
         self.blocks = [
             block_cls(c.dim, c.num_heads, c.mlp_ratio, c.qkv_bias,
                       c.block_ln_eps, self.dtype, self.attn_impl,
-                      c.gelu_approx, name=f"blocks_{i}")
+                      c.gelu_approx, self.mlp_impl, name=f"blocks_{i}")
             for i in range(c.depth)
         ]
         self.norm = LayerNormFP32(epsilon=c.final_ln_eps, dtype=self.dtype,

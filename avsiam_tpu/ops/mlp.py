@@ -1,0 +1,282 @@
+"""Fused transformer MLP (fc1 -> GELU -> fc2) as a Pallas TPU kernel.
+
+The reference's MLP is two torch Linears with an exact-erf GELU between
+(src/models/cav_mae_base.py block MLPs, timm Mlp). Under XLA the [T, 4D]
+hidden activation round-trips HBM between the two GEMMs in both the forward
+and backward passes; this kernel keeps it in VMEM.
+
+Design:
+* forward — grid over row blocks of the token-packed [T, D] input; both
+  weight matrices stay VMEM-resident across grid steps (constant index_map);
+  fc1 accumulates f32, GELU computed in f32, fc2 accumulates f32.
+* backward — custom VJP, three kernels:
+    1. dx kernel (grid over rows): recompute h_pre = x@w1+b1, gh =
+       gelu'(h_pre) * (dout @ w2ᵀ), dx = gh @ w1ᵀ; stashes gh and gelu(h_pre)
+       for the weight-gradient kernels.
+    2/3. weight-grad kernel (generic): dw = Σ_blocks aᵀ@g with f32
+       accumulation in a VMEM-resident output (TPU grids run sequentially,
+       so revisiting the same output block accumulates correctly), db =
+       column sums of g.
+* rows are padded to the block size with zeros; zero rows contribute zero to
+  every gradient, so no masking is needed.
+
+Numerics: GELU is evaluated in f32 (exact erf by default, tanh when
+``gelu_approx``), matching LayerNormFP32's policy of f32 nonlinear math under
+bf16 GEMM compute.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+_SQRT_2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+_TANH_C = math.sqrt(2.0 / math.pi)
+
+
+def _erf(x):
+    """erf from VPU primitives (the erf HLO has no Pallas TPU lowering):
+    Abramowitz & Stegun 7.1.26, max abs error 1.5e-7 — below bf16 resolution
+    and inside the fused-MLP test tolerance vs XLA's erf."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_f32(x, approx: bool):
+    if approx:
+        inner = _TANH_C * (x + 0.044715 * x * x * x)
+        return 0.5 * x * (1.0 + jnp.tanh(inner))
+    return 0.5 * x * (1.0 + _erf(x / _SQRT_2))
+
+
+def _gelu_grad_f32(x, approx: bool):
+    if approx:
+        inner = _TANH_C * (x + 0.044715 * x * x * x)
+        t = jnp.tanh(inner)
+        dinner = _TANH_C * (1.0 + 3 * 0.044715 * x * x)
+        return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
+    cdf = 0.5 * (1.0 + _erf(x / _SQRT_2))
+    pdf = jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
+    return cdf + x * pdf
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _params():
+    """Raise the Mosaic scoped-VMEM cap (default 16 MB) so the resident
+    weight pair + f32 hidden blocks fit with double buffering; same practice
+    as jax's TPU flash-attention kernels."""
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, approx):
+    h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = _gelu_f32(h + b1_ref[:].astype(jnp.float32), approx)
+    h = h.astype(x_ref.dtype)
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = (y + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwd_dx_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
+                   dx_ref, gh_ref, act_ref, *, approx):
+    hpre = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[:].astype(jnp.float32)
+    act_ref[:] = _gelu_f32(hpre, approx).astype(act_ref.dtype)
+    dh = jax.lax.dot_general(  # dout @ w2^T: contract the D axis
+        do_ref[:], w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gh = dh * _gelu_grad_f32(hpre, approx)
+    gh_ref[:] = gh.astype(gh_ref.dtype)
+    dx = jax.lax.dot_general(  # gh @ w1^T: contract the H axis
+        gh.astype(x_ref.dtype), w1_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _dw_kernel(a_ref, g_ref, dw_ref, db_ref):
+    # grid (m_tiles, n_tiles, row_blocks), rows fastest: the (jm, jn) output
+    # tile stays VMEM-resident while the row dimension accumulates. Tiling
+    # both weight dims keeps tile + dot-result temp well under VMEM.
+    jm = pl.program_id(0)
+    i = pl.program_id(2)
+    part = jax.lax.dot_general(  # a^T @ g over the row-block axis
+        a_ref[:], g_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = part
+
+    @pl.when(i > 0)
+    def _():
+        dw_ref[:] += part
+
+    # db is independent of the m tiling — accumulate it on the jm == 0 wall
+    bpart = jnp.sum(g_ref[:].astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when((jm == 0) & (i == 0))
+    def _():
+        db_ref[:] = bpart
+
+    @pl.when((jm == 0) & (i > 0))
+    def _():
+        db_ref[:] += bpart
+
+
+def _pad_rows(x, tp):
+    return x if x.shape[0] == tp else jnp.pad(x, ((0, tp - x.shape[0]),
+                                                  (0, 0)))
+
+
+_BLOCK_T = 256  # fwd row block; bwd uses 128 (more f32 live per row)
+
+
+def _fwd_call(x, w1, b1, w2, b2, approx):
+    T, D = x.shape
+    H = w1.shape[1]
+    tp = -(-T // _BLOCK_T) * _BLOCK_T
+    xp = _pad_rows(x, tp)
+    grid = (tp // _BLOCK_T,)
+    const = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, approx=approx),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BLOCK_T, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_T, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tp * D * H,
+            bytes_accessed=(2 * tp * D + 2 * D * H) * x.dtype.itemsize,
+            transcendentals=tp * H,
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(xp, w1, b1, w2, b2)
+    return out[:T]
+
+
+def _bwd_call(x, w1, b1, w2, do, approx):
+    T, D = x.shape
+    H = w1.shape[1]
+    bt = 128
+    tp = -(-T // bt) * bt
+    xp = _pad_rows(x, tp)
+    dop = _pad_rows(do, tp)
+    grid = (tp // bt,)
+    const = lambda i: (0, 0)
+    row = lambda i: (i, 0)
+    dxp, gh, act = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, approx=approx),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, D), x.dtype),
+            jax.ShapeDtypeStruct((tp, H), x.dtype),
+            jax.ShapeDtypeStruct((tp, H), x.dtype),
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(xp, w1, b1, w2, dop)
+
+    def weight_grads(a, g):
+        m, n = a.shape[1], g.shape[1]
+        mt = math.gcd(m, 768)
+        nt = math.gcd(n, 768)
+        wgrid = (m // mt, n // nt, tp // bt)
+        return pl.pallas_call(
+            _dw_kernel,
+            grid=wgrid,
+            in_specs=[
+                pl.BlockSpec((bt, mt), lambda jm, jn, i: (i, jm),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, nt), lambda jm, jn, i: (i, jn),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((mt, nt), lambda jm, jn, i: (jm, jn),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nt), lambda jm, jn, i: (0, jn),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((m, n), jnp.float32),
+                       jax.ShapeDtypeStruct((1, n), jnp.float32)),
+            interpret=_interpret(),
+        )(a, g)
+
+    dw1, db1 = weight_grads(xp, gh)
+    dw2, db2 = weight_grads(act, dop)
+    return dxp[:T], dw1, db1[0], dw2, db2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_mlp(x, w1, b1, w2, b2, approx):
+    return _fwd_call(x, w1, b1, w2, b2, approx)
+
+
+def _fused_mlp_fwd(x, w1, b1, w2, b2, approx):
+    return _fwd_call(x, w1, b1, w2, b2, approx), (x, w1, b1, w2)
+
+
+def _fused_mlp_bwd(approx, res, do):
+    x, w1, b1, w2 = res
+    dx, dw1, db1, dw2, db2 = _bwd_call(x, w1, b1, w2, do, approx)
+    # cotangent dtypes must match the primals (the f32 master params receive
+    # these through the outer astype's VJP)
+    return (dx, dw1.astype(w1.dtype), db1.reshape(1, -1).astype(w1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(1, -1).astype(w2.dtype))
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2,
+              gelu_approx: bool = False) -> jnp.ndarray:
+    """x: [..., D]; w1 [D, H], b1 [H], w2 [H, D], b2 [D] (any float dtype —
+    cast to x.dtype for the GEMMs, f32 accumulation). Returns [..., D]."""
+    shape = x.shape
+    D = shape[-1]
+    H = w1.shape[1]
+    assert D % 128 == 0 and H % 128 == 0, (D, H)
+    x2 = x.reshape(-1, D)
+    dt = x.dtype
+    out = _fused_mlp(x2, w1.astype(dt), b1.reshape(1, -1).astype(dt),
+                     w2.astype(dt), b2.reshape(1, -1).astype(dt), gelu_approx)
+    return out.reshape(shape)

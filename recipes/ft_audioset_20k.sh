@@ -23,4 +23,8 @@ python -m avsiam_tpu.cli.finetune \
   --dataset_mean -5.081 --dataset_std 4.4849 --target_length 1024 \
   --noise True --ftmode mm_grad \
   --pretrain_path "$PRETRAIN" \
+  --mesh_data 1 \
   --exp_dir "$EXP_DIR" "$@"
+# --mesh_data 1 matches the reference's single-GPU AS-20K recipe (global
+# batch 4 doesn't divide larger meshes); pass e.g. "--mesh_data 4
+# --batch_size 16" to scale out. Flags in "$@" override earlier ones.

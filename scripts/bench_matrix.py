@@ -1,6 +1,6 @@
 """Benchmark one pretrain-step configuration on the current accelerator.
 
-Usage: python scripts/bench_matrix.py B ATTN MMIXED [ITERS]
+Usage: python scripts/bench_matrix.py B ATTN MMIXED [ITERS] [MLP] [gelu_tanh]
 Prints one line: config + clips/s + ms/step.
 """
 
@@ -10,7 +10,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from avsiam_tpu.configs import CAVMAEConfig, OptimizerConfig, PretrainConfig
+from avsiam_tpu.configs import (CAVMAEConfig, OptimizerConfig,
+                                PretrainConfig, ViTConfig, replace)
 from avsiam_tpu.models import CAVMAEPretrain
 from avsiam_tpu.train.pretrain import init_state, make_pretrain_step
 
@@ -20,9 +21,11 @@ def main():
     attn = sys.argv[2]
     mmixed = sys.argv[3]
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    remat = len(sys.argv) > 5 and sys.argv[5] == "remat"
+    mlp = sys.argv[5] if len(sys.argv) > 5 else "dense"
+    gelu_tanh = len(sys.argv) > 6 and sys.argv[6] == "gelu_tanh"
     mcfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl=attn,
-                        mmixed_impl=mmixed, remat_blocks=remat)
+                        mmixed_impl=mmixed, mlp_impl=mlp,
+                        vit=replace(ViTConfig(), gelu_approx=gelu_tanh))
     cfg = PretrainConfig(model=mcfg, opt=OptimizerConfig(), batch_size=B)
     model = CAVMAEPretrain(mcfg)
     rng = jax.random.PRNGKey(0)
@@ -40,7 +43,8 @@ def main():
         state, m = step(state, (a, v), rng, lr)
     float(jax.device_get(m["loss"]))
     dt = (time.perf_counter() - t0) / iters
-    print(f"B={B:3d} attn={attn:6s} mmixed={mmixed:6s} remat={int(remat)}: "
+    print(f"B={B:3d} attn={attn:6s} mmixed={mmixed:6s} mlp={mlp:5s} "
+          f"tanh={int(gelu_tanh)}: "
           f"{B / dt:7.1f} clips/s  {dt * 1000:7.1f} ms/step  "
           f"(compile+init {compile_t:.0f}s)")
 

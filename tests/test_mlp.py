@@ -1,0 +1,80 @@
+"""Fused Pallas MLP (ops/mlp.py) vs the plain XLA two-GEMM reference:
+forward values and all five gradients, exact + tanh GELU, padded row counts.
+Runs in interpreter mode on the CPU test mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsiam_tpu.ops.mlp import fused_mlp
+
+D, H = 128, 256
+
+
+def _ref_mlp(x, w1, b1, w2, b2, approx):
+    h = jnp.dot(x, w1) + b1
+    h = jax.nn.gelu(h, approximate=approx)
+    return jnp.dot(h, w2) + b2
+
+
+def _params(key, dtype):
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (67, D), dtype)  # 67: exercises row padding
+    w1 = jax.random.normal(ks[1], (D, H), dtype) * 0.05
+    b1 = jax.random.normal(ks[2], (H,), dtype) * 0.1
+    w2 = jax.random.normal(ks[3], (H, D), dtype) * 0.05
+    b2 = jax.random.normal(ks[4], (D,), dtype) * 0.1
+    return x, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("approx", [False, True])
+def test_fused_mlp_forward_matches_xla(approx):
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(0), jnp.float32)
+    got = fused_mlp(x, w1, b1, w2, b2, gelu_approx=approx)
+    ref = _ref_mlp(x, w1, b1, w2, b2, approx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("approx", [False, True])
+def test_fused_mlp_grads_match_xla(approx):
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(1), jnp.float32)
+
+    def loss_fused(x, w1, b1, w2, b2):
+        y = fused_mlp(x, w1, b1, w2, b2, gelu_approx=approx)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, w1, b1, w2, b2):
+        return jnp.sum(jnp.sin(_ref_mlp(x, w1, b1, w2, b2, approx)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4, err_msg=name)
+
+
+def test_fused_mlp_3d_input_and_bf16():
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 40, D), jnp.bfloat16)
+    _, w1, b1, w2, b2 = _params(jax.random.PRNGKey(3), jnp.float32)
+    got = fused_mlp(x, w1, b1, w2, b2)
+    ref = _ref_mlp(x.astype(jnp.float32), w1, b1, w2, b2, False)
+    assert got.shape == (3, 40, D) and got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               atol=0.15, rtol=0.05)  # bf16 GEMM tolerance
+
+
+def test_mlp_module_fused_matches_dense():
+    """The Mlp module's fused impl must match the dense impl on identical
+    params (f32)."""
+    from avsiam_tpu.models.layers import Mlp
+    rng = jax.random.PRNGKey(4)
+    x = jax.random.normal(rng, (2, 33, D))
+    dense = Mlp(D, H, jnp.float32, False, "dense")
+    fused = Mlp(D, H, jnp.float32, False, "fused")
+    params = dense.init(rng, x)
+    out_d = dense.apply(params, x)
+    out_f = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                               atol=1e-5, rtol=1e-5)

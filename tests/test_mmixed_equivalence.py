@@ -134,6 +134,36 @@ def test_mmixed_padded_equals_exact_full_forward():
     np.testing.assert_allclose(float(acc_p), float(acc_e))
 
 
+def test_mmixed_packed_matches_exact_same_rng():
+    """The packed impl (one token-packed GEMM set per block, per-chunk
+    attention) consumes the SAME RNG draws as the exact chunked impl, so the
+    two must produce identical embeddings on identical inputs."""
+    from avsiam_tpu.configs import replace
+    from avsiam_tpu.models.cavmae import CAVMAEPretrain as M
+
+    cfg = CAVMAEConfig(vit=TINY, mmixed_impl="exact",
+                       decoder=DecoderConfig(dim=16, depth=1, num_heads=2))
+    model_e = CAVMAEPretrain(cfg)
+    model_p = CAVMAEPretrain(replace(cfg, mmixed_impl="packed"))
+    rng = jax.random.PRNGKey(0)
+    for B in (5, 4, 7):  # even chunks, fewer-than-5 chunks, ragged chunks
+        a = jax.random.normal(jax.random.fold_in(rng, B),
+                              (B, TINY.audio_length, TINY.mel_bins))
+        v = jax.random.normal(jax.random.fold_in(rng, B + 100),
+                              (B, 3, TINY.img_size, TINY.img_size))
+        params = model_e.init({"params": rng, "mask": rng, "perm": rng}, a, v,
+                              mae_loss_weight=0.0, contrast_loss_weight=1.0)
+        rngs = {"mask": jax.random.PRNGKey(1), "perm": jax.random.PRNGKey(2)}
+        ca_e, cv_e = model_e.apply(params, a, v,
+                                   method=M.forward_encoder_mmixed, rngs=rngs)
+        ca_p, cv_p = model_p.apply(params, a, v,
+                                   method=M.forward_encoder_mmixed, rngs=rngs)
+        np.testing.assert_allclose(np.asarray(ca_p), np.asarray(ca_e),
+                                   atol=2e-5, rtol=1e-4, err_msg=f"B={B}")
+        np.testing.assert_allclose(np.asarray(cv_p), np.asarray(cv_e),
+                                   atol=2e-5, rtol=1e-4, err_msg=f"B={B}")
+
+
 def test_keep_counts_per_ratio():
     """Padded mmixed must keep exactly int(L*(1-0.2i)) tokens per chunk-i
     sample — the reference's keep-set sizes (cav_mae_base.py:546-549)."""
