@@ -37,9 +37,11 @@ class ViTConfig:
     block_ln_eps: float = 1e-5  # cav_mae_base.py:120 (torch nn.LayerNorm default)
     final_ln_eps: float = 1e-6  # timm ViT final norm eps
     qkv_bias: bool = True
-    # exact erf GELU (timm nn.GELU parity) vs tanh approximation (~4x cheaper
-    # on the VPU; negligible quality difference, breaks bit-parity)
-    gelu_approx: bool = False
+    # GELU numerics (ops/gelu.py): 'erf' = exact (timm nn.GELU parity);
+    # 'cheb'/'ans' = erf-grade approximations (max CDF error ~1.5e-7,
+    # bf16-bit-equivalent to 'erf', far cheaper on the VPU); 'tanh' = the
+    # tanh approximation (fastest, visibly different numerics).
+    gelu: str = "erf"
 
     @property
     def video_grid(self) -> Tuple[int, int]:

@@ -46,6 +46,7 @@ from avsiam_tpu.models.layers import (LayerNormFP32, ModalityBlock,
                                       SiameseViT)
 from avsiam_tpu.ops import masking as mk
 from avsiam_tpu.ops.contrastive import info_nce_gathered
+from avsiam_tpu.ops.gather import take_batch, take_tokens
 from avsiam_tpu.ops.patchify import audio_to_image, patchify
 
 
@@ -86,7 +87,7 @@ class MAEDecoder(nn.Module):
                                      jnp.float32)
         self.blocks = [
             ModalityBlock(d.dim, d.num_heads, d.mlp_ratio, True, d.ln_eps,
-                          self.dtype, c.attn_impl, c.vit.gelu_approx,
+                          self.dtype, c.attn_impl, c.vit.gelu,
                           c.mlp_impl, name=f"blocks_{i}")
             for i in range(d.depth)
         ]
@@ -111,7 +112,9 @@ class MAEDecoder(nn.Module):
             mask_tokens = jnp.broadcast_to(
                 self.mask_token.astype(kept.dtype), (B, n_mask, D))
             full = jnp.concatenate([kept, mask_tokens], axis=1)
-            return jnp.take_along_axis(full, ids_restore[:, :, None], axis=1)
+            # one-hot GEMM restore: take_along_axis's scatter-add backward
+            # costs ~5 ms at this shape on TPU (ops/gather.py)
+            return take_tokens(full, ids_restore)
 
         a_ = _restore(x[:, :len_keep_a], ids_restore_a, La)
         v_ = _restore(x[:, len_keep_a:], ids_restore_v, Lv)
@@ -138,11 +141,11 @@ class CAVMAEPretrain(nn.Module):
                               c.remat_blocks, c.mlp_impl, name="ast")
         self.mm_layer_1 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
-            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
+            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu,
             c.mlp_impl, name="mm_layer_1")
         self.mm_layer_2 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
-            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
+            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu,
             c.mlp_impl, name="mm_layer_2")
         self.decoder = MAEDecoder(c, c.dtype, name="decoder")
 
@@ -235,8 +238,8 @@ class CAVMAEPretrain(nn.Module):
         for i, size in enumerate(sizes):
             idx_a = jax.lax.dynamic_slice_in_dim(perm_a, off, size)
             idx_v = jax.lax.dynamic_slice_in_dim(perm_v, off, size)
-            a_i = jnp.take(a, idx_a, axis=0)
-            v_i = jnp.take(v, idx_v, axis=0)
+            a_i = take_batch(a, idx_a)
+            v_i = take_batch(v, idx_v)
             a_i, _, _ = mk.random_masking_structured(
                 self.make_rng("mask"), a_i, ratios[i], t=t, f=f, mode="tf")
             v_i, _, _ = mk.random_masking(
@@ -247,8 +250,8 @@ class CAVMAEPretrain(nn.Module):
         ca = jnp.concatenate(a_parts, axis=0)
         cv = jnp.concatenate(v_parts, axis=0)
         # inverse-permute back to input order (cav_mae_base.py:575-590)
-        ca = jnp.take(ca, jnp.argsort(perm_a), axis=0)
-        cv = jnp.take(cv, jnp.argsort(perm_v), axis=0)
+        ca = take_batch(ca, jnp.argsort(perm_a))
+        cv = take_batch(cv, jnp.argsort(perm_v))
         return ca, cv
 
     def _mmixed_packed(self, a, v, perm_a, perm_v, sizes, ratios):
@@ -271,8 +274,8 @@ class CAVMAEPretrain(nn.Module):
         for i, size in enumerate(sizes):
             idx_a = jax.lax.dynamic_slice_in_dim(perm_a, off, size)
             idx_v = jax.lax.dynamic_slice_in_dim(perm_v, off, size)
-            a_i = jnp.take(a, idx_a, axis=0)
-            v_i = jnp.take(v, idx_v, axis=0)
+            a_i = take_batch(a, idx_a)
+            v_i = take_batch(v, idx_v)
             a_i, _, _ = mk.random_masking_structured(
                 self.make_rng("mask"), a_i, ratios[i], t=t, f=f, mode="tf")
             v_i, _, _ = mk.random_masking(
@@ -310,8 +313,8 @@ class CAVMAEPretrain(nn.Module):
                   for (s, l), o in zip(segs, offs)]
         ca = jnp.concatenate(pooled[:len(a_parts)], axis=0)
         cv = jnp.concatenate(pooled[len(a_parts):], axis=0)
-        ca = jnp.take(ca, jnp.argsort(perm_a), axis=0)
-        cv = jnp.take(cv, jnp.argsort(perm_v), axis=0)
+        ca = take_batch(ca, jnp.argsort(perm_a))
+        cv = take_batch(cv, jnp.argsort(perm_v))
         return ca, cv
 
     def _mmixed_padded(self, a, v, perm_a, perm_v, sizes, ratios):

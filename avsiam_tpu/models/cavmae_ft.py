@@ -62,11 +62,11 @@ class CAVMAEFinetune(nn.Module):
                                       name="mlp_head_mm_v2")
         self.mm_layer_1 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
-            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
+            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu,
             c.mlp_impl, name="mm_layer_1")
         self.mm_layer_2 = ModalityBlock(
             c.vit.dim, c.vit.num_heads, c.vit.mlp_ratio, c.vit.qkv_bias,
-            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu_approx,
+            c.vit.block_ln_eps, c.dtype, c.attn_impl, c.vit.gelu,
             c.mlp_impl, name="mm_layer_2")
 
     # ------------------------------------------------------------------

@@ -66,13 +66,15 @@ class DenseParams(nn.Module):
 class Mlp(nn.Module):
     """timm Mlp parity: fc1 -> GELU (exact erf by default) -> fc2.
 
-    impl='fused' runs the Pallas fused kernel (ops/mlp.py): the [*, 4D]
-    hidden never leaves VMEM. 'dense' is the plain XLA two-GEMM form."""
+    ``gelu`` selects the activation numerics (ops/gelu.py: 'erf' exact parity,
+    'cheb'/'ans' erf-grade fast approximations, 'tanh'). impl='fused' runs the
+    Pallas fused kernel (ops/mlp.py): the [*, 4D] hidden never leaves VMEM.
+    'dense' is the plain XLA two-GEMM form."""
 
     dim: int
     hidden_dim: int
     dtype: Dtype = jnp.float32
-    gelu_approx: bool = False
+    gelu: str = "erf"
     impl: str = "dense"
 
     def setup(self):
@@ -80,16 +82,16 @@ class Mlp(nn.Module):
         self.fc2 = DenseParams(self.hidden_dim, self.dim)
 
     def __call__(self, x):
+        from avsiam_tpu.ops import gelu as gelu_ops
         dt = self.dtype
         x = x.astype(dt)
         if self.impl == "fused":
             from avsiam_tpu.ops.mlp import fused_mlp
             return fused_mlp(x, self.fc1.kernel, self.fc1.bias,
-                             self.fc2.kernel, self.fc2.bias,
-                             gelu_approx=self.gelu_approx)
+                             self.fc2.kernel, self.fc2.bias, gelu=self.gelu)
         x = jnp.dot(x, self.fc1.kernel.astype(dt)) + self.fc1.bias.astype(dt)
-        # torch nn.GELU() is exact erf; tanh approximation available for perf
-        x = nn.gelu(x, approximate=self.gelu_approx)
+        # torch nn.GELU() is exact erf; 'cheb'/'ans' are bf16-bit-equivalent
+        x = gelu_ops.gelu(x, impl=self.gelu)
         x = jnp.dot(x, self.fc2.kernel.astype(dt)) + self.fc2.bias.astype(dt)
         return x
 
@@ -156,7 +158,7 @@ class ModalityBlock(nn.Module):
     ln_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
-    gelu_approx: bool = False
+    gelu: str = "erf"
     mlp_impl: str = "dense"
 
     def setup(self):
@@ -171,7 +173,7 @@ class ModalityBlock(nn.Module):
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.dtype, self.attn_impl, name="attn")
         self.mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
-                       self.gelu_approx, self.mlp_impl, name="mlp")
+                       self.gelu, self.mlp_impl, name="mlp")
 
     def __call__(self, x, modality: Optional[str] = None,
                  key_valid: Optional[jnp.ndarray] = None, r: int = 0):
@@ -267,7 +269,7 @@ class SiameseViT(nn.Module):
         self.blocks = [
             block_cls(c.dim, c.num_heads, c.mlp_ratio, c.qkv_bias,
                       c.block_ln_eps, self.dtype, self.attn_impl,
-                      c.gelu_approx, self.mlp_impl, name=f"blocks_{i}")
+                      c.gelu, self.mlp_impl, name=f"blocks_{i}")
             for i in range(c.depth)
         ]
         self.norm = LayerNormFP32(epsilon=c.final_ln_eps, dtype=self.dtype,

@@ -81,36 +81,62 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         )  # [BQ, Np]
         s = s * scale + bias_ref[0]
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / denom).astype(v.dtype)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        o_ref[0, h] = o.astype(o_ref.dtype)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        # normalization deferred past the PV matmul: one reciprocal + one
+        # multiply PER ROW instead of N^2 divisions (softmax is the VPU
+        # bottleneck of this kernel — the matmuls are small at AVSiam D)
+        o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o * (1.0 / denom)).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, hpp: int):
-    # tensor refs: [1, hpp, Np, D] (full sequence per program); bias [1,1,Np]
+    # tensor refs: [1, hpp, Np, D] (full sequence per program); bias [1,1,Np].
+    # Matmul operands stay in the INPUT dtype (bf16 on TPU: 4x the MXU rate of
+    # f32) with f32 accumulation; softmax statistics and the softmax VJP run
+    # in f32. This matches the precision of the XLA fallback's autodiff
+    # (einsums over bf16 operands with preferred_element_type=f32) — for f32
+    # inputs the casts are no-ops and the math is unchanged.
     for h in range(hpp):
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
         do = do_ref[0, h].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale + bias_ref[0]
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [Nq, Nk]
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax VJP
-        dq_ref[0, h] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                        * scale).astype(dq_ref.dtype)
-        dk_ref[0, h] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
-                        * scale).astype(dk_ref.dtype)
-        dv_ref[0, h] = jnp.dot(
-            p.T, do, preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        e = jnp.exp(s - m)  # unnormalized probs: p = e * r, r = 1/rowsum(e)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [Nq, 1]
+        # With p = e*r and row factors pulled out of every N^2 term, the
+        # softmax VJP needs only elementwise mults on [Nq, Nk] (the N^2
+        # division of p = e/denom — the kernel's VPU hotspot — becomes
+        # N*D-sized row scalings around the matmuls):
+        #   dv = p^T do           = e^T (r*do)
+        #   dp = do v^T
+        #   c  = rowsum(dp * p)   = r * rowsum(dp * e)
+        #   ds = p * (dp - c)     = r * [e * (dp - c)]
+        #   dq = (ds k) * scale   = r * [(e*(dp-c)) k] * scale
+        #   dk = ds^T q * scale   = [e*(dp-c)]^T (r*q) * scale
+        dor = (r * do).astype(v.dtype)
+        eb = e.astype(v.dtype)
+        dv_ref[0, h] = jax.lax.dot_general(  # e^T @ (r do): contract rows
+            eb, dor, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(  # do @ v^T: contract D
+            do.astype(v.dtype), v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        c = r * jnp.sum(dp * e, axis=-1, keepdims=True)
+        es = (e * (dp - c)).astype(q.dtype)  # ds = r * es
+        dq_ref[0, h] = (jnp.dot(es, k, preferred_element_type=jnp.float32)
+                        * (scale * r)).astype(dq_ref.dtype)
+        qr = (r * q.astype(jnp.float32)).astype(q.dtype)
+        dk_ref[0, h] = (jax.lax.dot_general(  # es^T @ (r q): contract rows
+            es, qr, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
 
 
 def _pad_tokens(x: jnp.ndarray, n_to: int) -> jnp.ndarray:

@@ -24,6 +24,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from avsiam_tpu.ops.gather import take_tokens
+
 
 def len_keep_for(L: int, mask_ratio: float) -> int:
     """Parity: ``int(L * (1 - mask_ratio))`` (cav_mae_base.py:372)."""
@@ -51,7 +53,7 @@ def random_masking(rng: jax.Array, x: jnp.ndarray, len_keep: int,
         noise = jax.random.uniform(rng, (N, L))
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]
-    x_masked = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+    x_masked = take_tokens(x, ids_keep)  # one-hot GEMM on TPU (no scatter bwd)
     ids_restore, mask = _mask_from_shuffle(ids_shuffle, len_keep)
     return x_masked, mask, ids_restore
 

@@ -20,9 +20,10 @@ Design:
 * rows are padded to the block size with zeros; zero rows contribute zero to
   every gradient, so no masking is needed.
 
-Numerics: GELU is evaluated in f32 (exact erf by default, tanh when
-``gelu_approx``), matching LayerNormFP32's policy of f32 nonlinear math under
-bf16 GEMM compute.
+Numerics: GELU is evaluated in f32 (ops/gelu.py numerics; the 'erf' request
+maps to the A&S approximation because the erf HLO has no Pallas TPU lowering
+— max error 1.5e-7, below bf16 resolution), matching LayerNormFP32's policy
+of f32 nonlinear math under bf16 GEMM compute.
 """
 
 from __future__ import annotations
@@ -39,39 +40,21 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
-_SQRT_2 = math.sqrt(2.0)
-_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
-_TANH_C = math.sqrt(2.0 / math.pi)
+from avsiam_tpu.ops.gelu import gelu_f32, gelu_grad_f32
 
 
-def _erf(x):
-    """erf from VPU primitives (the erf HLO has no Pallas TPU lowering):
-    Abramowitz & Stegun 7.1.26, max abs error 1.5e-7 — below bf16 resolution
-    and inside the fused-MLP test tolerance vs XLA's erf."""
-    s = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
-             - 0.284496736) * t + 0.254829592) * t
-    return s * (1.0 - poly * jnp.exp(-a * a))
+def _kernel_impl(gelu: str) -> str:
+    """Map the requested numerics to a Pallas-lowerable impl: 'erf' has no
+    Mosaic lowering, so it runs as 'ans' (bf16-bit-equivalent)."""
+    return "ans" if gelu == "erf" else gelu
 
 
-def _gelu_f32(x, approx: bool):
-    if approx:
-        inner = _TANH_C * (x + 0.044715 * x * x * x)
-        return 0.5 * x * (1.0 + jnp.tanh(inner))
-    return 0.5 * x * (1.0 + _erf(x / _SQRT_2))
+def _gelu_f32(x, impl: str):
+    return gelu_f32(x, _kernel_impl(impl))
 
 
-def _gelu_grad_f32(x, approx: bool):
-    if approx:
-        inner = _TANH_C * (x + 0.044715 * x * x * x)
-        t = jnp.tanh(inner)
-        dinner = _TANH_C * (1.0 + 3 * 0.044715 * x * x)
-        return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
-    cdf = 0.5 * (1.0 + _erf(x / _SQRT_2))
-    pdf = jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
-    return cdf + x * pdf
+def _gelu_grad_f32(x, impl: str):
+    return gelu_grad_f32(x, _kernel_impl(impl))
 
 
 def _interpret() -> bool:
@@ -87,23 +70,23 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, approx):
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, gelu):
     h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
-    h = _gelu_f32(h + b1_ref[:].astype(jnp.float32), approx)
+    h = _gelu_f32(h + b1_ref[:].astype(jnp.float32), gelu)
     h = h.astype(x_ref.dtype)
     y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = (y + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def _bwd_dx_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
-                   dx_ref, gh_ref, act_ref, *, approx):
+                   dx_ref, gh_ref, act_ref, *, gelu):
     hpre = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
     hpre = hpre + b1_ref[:].astype(jnp.float32)
-    act_ref[:] = _gelu_f32(hpre, approx).astype(act_ref.dtype)
+    act_ref[:] = _gelu_f32(hpre, gelu).astype(act_ref.dtype)
     dh = jax.lax.dot_general(  # dout @ w2^T: contract the D axis
         do_ref[:], w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    gh = dh * _gelu_grad_f32(hpre, approx)
+    gh = dh * _gelu_grad_f32(hpre, gelu)
     gh_ref[:] = gh.astype(gh_ref.dtype)
     dx = jax.lax.dot_general(  # gh @ w1^T: contract the H axis
         gh.astype(x_ref.dtype), w1_ref[:],
@@ -150,7 +133,7 @@ def _pad_rows(x, tp):
 _BLOCK_T = 256  # fwd row block; bwd uses 128 (more f32 live per row)
 
 
-def _fwd_call(x, w1, b1, w2, b2, approx):
+def _fwd_call(x, w1, b1, w2, b2, gelu):
     T, D = x.shape
     H = w1.shape[1]
     tp = -(-T // _BLOCK_T) * _BLOCK_T
@@ -158,7 +141,7 @@ def _fwd_call(x, w1, b1, w2, b2, approx):
     grid = (tp // _BLOCK_T,)
     const = lambda i: (0, 0)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, approx=approx),
+        functools.partial(_fwd_kernel, gelu=gelu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_BLOCK_T, D), lambda i: (i, 0),
@@ -182,7 +165,7 @@ def _fwd_call(x, w1, b1, w2, b2, approx):
     return out[:T]
 
 
-def _bwd_call(x, w1, b1, w2, do, approx):
+def _bwd_call(x, w1, b1, w2, do, gelu):
     T, D = x.shape
     H = w1.shape[1]
     bt = 128
@@ -193,7 +176,7 @@ def _bwd_call(x, w1, b1, w2, do, approx):
     const = lambda i: (0, 0)
     row = lambda i: (i, 0)
     dxp, gh, act = pl.pallas_call(
-        functools.partial(_bwd_dx_kernel, approx=approx),
+        functools.partial(_bwd_dx_kernel, gelu=gelu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, D), row, memory_space=pltpu.VMEM),
@@ -247,17 +230,17 @@ def _bwd_call(x, w1, b1, w2, do, approx):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _fused_mlp(x, w1, b1, w2, b2, approx):
-    return _fwd_call(x, w1, b1, w2, b2, approx)
+def _fused_mlp(x, w1, b1, w2, b2, gelu):
+    return _fwd_call(x, w1, b1, w2, b2, gelu)
 
 
-def _fused_mlp_fwd(x, w1, b1, w2, b2, approx):
-    return _fwd_call(x, w1, b1, w2, b2, approx), (x, w1, b1, w2)
+def _fused_mlp_fwd(x, w1, b1, w2, b2, gelu):
+    return _fwd_call(x, w1, b1, w2, b2, gelu), (x, w1, b1, w2)
 
 
-def _fused_mlp_bwd(approx, res, do):
+def _fused_mlp_bwd(gelu, res, do):
     x, w1, b1, w2 = res
-    dx, dw1, db1, dw2, db2 = _bwd_call(x, w1, b1, w2, do, approx)
+    dx, dw1, db1, dw2, db2 = _bwd_call(x, w1, b1, w2, do, gelu)
     # cotangent dtypes must match the primals (the f32 master params receive
     # these through the outer astype's VJP)
     return (dx, dw1.astype(w1.dtype), db1.reshape(1, -1).astype(w1.dtype),
@@ -268,7 +251,7 @@ _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
 def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2,
-              gelu_approx: bool = False) -> jnp.ndarray:
+              gelu: str = "erf") -> jnp.ndarray:
     """x: [..., D]; w1 [D, H], b1 [H], w2 [H, D], b2 [D] (any float dtype —
     cast to x.dtype for the GEMMs, f32 accumulation). Returns [..., D]."""
     shape = x.shape
@@ -278,5 +261,5 @@ def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2,
     x2 = x.reshape(-1, D)
     dt = x.dtype
     out = _fused_mlp(x2, w1.astype(dt), b1.reshape(1, -1).astype(dt),
-                     w2.astype(dt), b2.reshape(1, -1).astype(dt), gelu_approx)
+                     w2.astype(dt), b2.reshape(1, -1).astype(dt), gelu)
     return out.reshape(shape)

@@ -1,6 +1,6 @@
 """Benchmark one pretrain-step configuration on the current accelerator.
 
-Usage: python scripts/bench_matrix.py B ATTN MMIXED [ITERS] [MLP] [gelu_tanh]
+Usage: python scripts/bench_matrix.py B ATTN MMIXED [ITERS] [MLP] [GELU]
 Prints one line: config + clips/s + ms/step.
 """
 
@@ -22,10 +22,12 @@ def main():
     mmixed = sys.argv[3]
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     mlp = sys.argv[5] if len(sys.argv) > 5 else "dense"
-    gelu_tanh = len(sys.argv) > 6 and sys.argv[6] == "gelu_tanh"
+    gelu = sys.argv[6] if len(sys.argv) > 6 else "erf"
+    if gelu == "gelu_tanh":  # legacy spelling
+        gelu = "tanh"
     mcfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl=attn,
                         mmixed_impl=mmixed, mlp_impl=mlp,
-                        vit=replace(ViTConfig(), gelu_approx=gelu_tanh))
+                        vit=replace(ViTConfig(), gelu=gelu))
     cfg = PretrainConfig(model=mcfg, opt=OptimizerConfig(), batch_size=B)
     model = CAVMAEPretrain(mcfg)
     rng = jax.random.PRNGKey(0)
@@ -44,7 +46,7 @@ def main():
     float(jax.device_get(m["loss"]))
     dt = (time.perf_counter() - t0) / iters
     print(f"B={B:3d} attn={attn:6s} mmixed={mmixed:6s} mlp={mlp:5s} "
-          f"tanh={int(gelu_tanh)}: "
+          f"gelu={gelu:4s}: "
           f"{B / dt:7.1f} clips/s  {dt * 1000:7.1f} ms/step  "
           f"(compile+init {compile_t:.0f}s)")
 

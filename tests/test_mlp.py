@@ -1,6 +1,6 @@
 """Fused Pallas MLP (ops/mlp.py) vs the plain XLA two-GEMM reference:
-forward values and all five gradients, exact + tanh GELU, padded row counts.
-Runs in interpreter mode on the CPU test mesh."""
+forward values and all five gradients across GELU numerics, padded row
+counts. Runs in interpreter mode on the CPU test mesh."""
 
 import jax
 import jax.numpy as jnp
@@ -12,9 +12,10 @@ from avsiam_tpu.ops.mlp import fused_mlp
 D, H = 128, 256
 
 
-def _ref_mlp(x, w1, b1, w2, b2, approx):
+def _ref_mlp(x, w1, b1, w2, b2, gelu):
+    from avsiam_tpu.ops.gelu import gelu as gelu_op
     h = jnp.dot(x, w1) + b1
-    h = jax.nn.gelu(h, approximate=approx)
+    h = gelu_op(h, impl="erf" if gelu == "erf" else gelu)
     return jnp.dot(h, w2) + b2
 
 
@@ -28,25 +29,25 @@ def _params(key, dtype):
     return x, w1, b1, w2, b2
 
 
-@pytest.mark.parametrize("approx", [False, True])
-def test_fused_mlp_forward_matches_xla(approx):
+@pytest.mark.parametrize("gelu", ["erf", "tanh", "cheb"])
+def test_fused_mlp_forward_matches_xla(gelu):
     x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(0), jnp.float32)
-    got = fused_mlp(x, w1, b1, w2, b2, gelu_approx=approx)
-    ref = _ref_mlp(x, w1, b1, w2, b2, approx)
+    got = fused_mlp(x, w1, b1, w2, b2, gelu=gelu)
+    ref = _ref_mlp(x, w1, b1, w2, b2, gelu)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("approx", [False, True])
-def test_fused_mlp_grads_match_xla(approx):
+@pytest.mark.parametrize("gelu", ["erf", "tanh", "cheb"])
+def test_fused_mlp_grads_match_xla(gelu):
     x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(1), jnp.float32)
 
     def loss_fused(x, w1, b1, w2, b2):
-        y = fused_mlp(x, w1, b1, w2, b2, gelu_approx=approx)
+        y = fused_mlp(x, w1, b1, w2, b2, gelu=gelu)
         return jnp.sum(jnp.sin(y))
 
     def loss_ref(x, w1, b1, w2, b2):
-        return jnp.sum(jnp.sin(_ref_mlp(x, w1, b1, w2, b2, approx)))
+        return jnp.sum(jnp.sin(_ref_mlp(x, w1, b1, w2, b2, gelu)))
 
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
@@ -59,7 +60,7 @@ def test_fused_mlp_3d_input_and_bf16():
     x = jax.random.normal(jax.random.PRNGKey(2), (3, 40, D), jnp.bfloat16)
     _, w1, b1, w2, b2 = _params(jax.random.PRNGKey(3), jnp.float32)
     got = fused_mlp(x, w1, b1, w2, b2)
-    ref = _ref_mlp(x.astype(jnp.float32), w1, b1, w2, b2, False)
+    ref = _ref_mlp(x.astype(jnp.float32), w1, b1, w2, b2, "erf")
     assert got.shape == (3, 40, D) and got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                atol=0.15, rtol=0.05)  # bf16 GEMM tolerance
@@ -71,8 +72,8 @@ def test_mlp_module_fused_matches_dense():
     from avsiam_tpu.models.layers import Mlp
     rng = jax.random.PRNGKey(4)
     x = jax.random.normal(rng, (2, 33, D))
-    dense = Mlp(D, H, jnp.float32, False, "dense")
-    fused = Mlp(D, H, jnp.float32, False, "fused")
+    dense = Mlp(D, H, jnp.float32, "erf", "dense")
+    fused = Mlp(D, H, jnp.float32, "erf", "fused")
     params = dense.init(rng, x)
     out_d = dense.apply(params, x)
     out_f = fused.apply(params, x)
