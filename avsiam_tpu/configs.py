@@ -95,7 +95,11 @@ class CAVMAEConfig:
     mmixed_ratio_step: float = 0.2
     # 'padded' = single batched encode with attention/pool masks (TPU fast
     # path, mathematically equivalent); 'exact' = per-chunk gather of kept
-    # tokens (mirrors the reference's variable-length encode).
+    # tokens (mirrors the reference's variable-length encode); 'bucketed' =
+    # exact's gathers rounded up to lane multiples with masked tails (same
+    # keep sets, no pad/slice copies around the attention kernels — best
+    # measured on v5e); 'packed' = exact's FLOPs over one token-packed
+    # array (measured slower on v5e, kept as an option).
     mmixed_impl: str = "padded"
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'

@@ -29,6 +29,9 @@ def build(quiet: bool = True) -> bool:
     try:
         subprocess.run(["make", "-C", _native_dir()],
                        capture_output=quiet, check=True)
+        # an earlier available() may have cached a None handle from before
+        # the library existed — drop it so the fresh build is picked up
+        _load.cache_clear()
         return True
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False

@@ -121,10 +121,23 @@ class MAEDecoder(nn.Module):
         a_ = a_ + (self.pos_embed_a + self.modality_a).astype(a_.dtype)
         v_ = v_ + (self.pos_embed_v + self.modality_v).astype(v_.dtype)
         x = jnp.concatenate([a_, v_], axis=1)
+        # run the blocks at the next lane multiple (708 -> 768): ONE pad here
+        # replaces a pad + slice copy pair around every block's attention
+        # kernel (measured ~0.9 ms each at this shape — the step is
+        # bandwidth-bound, BENCH_NOTES.md round 2). Pad rows are excluded
+        # from attention as keys (masked == dropped, tests/test_attention);
+        # as queries their outputs are sliced away before the pred heads.
+        Ltot = La + Lv
+        Lpad = -(-Ltot // 128) * 128
+        key_valid = None
+        if Lpad != Ltot:
+            x = jnp.pad(x, ((0, 0), (0, Lpad - Ltot), (0, 0)))
+            key_valid = jnp.broadcast_to(jnp.arange(Lpad) < Ltot,
+                                         (B, Lpad))
         for blk in self.blocks:
-            x = blk(x, None)
+            x = blk(x, None, key_valid)
         x = self.norm(x)
-        return self.pred_a(x[:, :La]), self.pred_v(x[:, La:])
+        return self.pred_a(x[:, :La]), self.pred_v(x[:, La:Ltot])
 
 
 class CAVMAEPretrain(nn.Module):
@@ -213,6 +226,9 @@ class CAVMAEPretrain(nn.Module):
 
         if c.mmixed_impl == "exact":
             ca, cv = self._mmixed_exact(a, v, perm_a, perm_v, sizes, ratios)
+        elif c.mmixed_impl == "bucketed":
+            ca, cv = self._mmixed_bucketed(a, v, perm_a, perm_v, sizes,
+                                           ratios)
         elif c.mmixed_impl == "packed":
             ca, cv = self._mmixed_packed(a, v, perm_a, perm_v, sizes, ratios)
         else:
@@ -250,6 +266,49 @@ class CAVMAEPretrain(nn.Module):
         ca = jnp.concatenate(a_parts, axis=0)
         cv = jnp.concatenate(v_parts, axis=0)
         # inverse-permute back to input order (cav_mae_base.py:575-590)
+        ca = take_batch(ca, jnp.argsort(perm_a))
+        cv = take_batch(cv, jnp.argsort(perm_v))
+        return ca, cv
+
+    def _mmixed_bucketed(self, a, v, perm_a, perm_v, sizes, ratios):
+        """`exact` with lane-aligned chunk lengths: identical RNG draws and
+        keep sets, but each chunk's kept tokens are gathered into the next
+        multiple of 128 rows (inert zero tail rows, excluded from attention
+        by a static key-validity mask and from pooling by masked_mean —
+        mathematically identical to _mmixed_exact; tested). Result: the
+        attention kernels see already-aligned sequences, so the ~10
+        pad/slice copies per block that the exact path pays around the
+        Pallas calls vanish. Costs ~20% more encoder GEMM rows; wins on the
+        measured bandwidth-bound v5e (BENCH_NOTES.md round 2)."""
+        c = self.cfg
+        f, t = c.vit.audio_grid
+        La, Lv = a.shape[1], v.shape[1]
+        lane = 128
+        a_parts, v_parts = [], []
+        off = 0
+        for i, size in enumerate(sizes):
+            idx_a = jax.lax.dynamic_slice_in_dim(perm_a, off, size)
+            idx_v = jax.lax.dynamic_slice_in_dim(perm_v, off, size)
+            a_i = take_batch(a, idx_a)
+            v_i = take_batch(v, idx_v)
+            keep_a = mk.len_keep_for(La, ratios[i])
+            keep_v = mk.len_keep_for(Lv, ratios[i])
+            pad_a = -(-keep_a // lane) * lane
+            pad_v = -(-keep_v // lane) * lane
+            a_i, _, _ = mk.random_masking_structured(
+                self.make_rng("mask"), a_i, ratios[i], t=t, f=f, mode="tf",
+                pad_to=pad_a)
+            v_i, _, _ = mk.random_masking(
+                self.make_rng("mask"), v_i, keep_v, pad_to=pad_v)
+            valid_a = None if pad_a == keep_a else jnp.broadcast_to(
+                jnp.arange(pad_a) < keep_a, (size, pad_a))
+            valid_v = None if pad_v == keep_v else jnp.broadcast_to(
+                jnp.arange(pad_v) < keep_v, (size, pad_v))
+            a_parts.append(self._encode_contrastive(a_i, "a", valid_a))
+            v_parts.append(self._encode_contrastive(v_i, "v", valid_v))
+            off += size
+        ca = jnp.concatenate(a_parts, axis=0)
+        cv = jnp.concatenate(v_parts, axis=0)
         ca = take_batch(ca, jnp.argsort(perm_a))
         cv = take_batch(cv, jnp.argsort(perm_v))
         return ca, cv

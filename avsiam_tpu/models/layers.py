@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from avsiam_tpu.configs import ViTConfig
-from avsiam_tpu.ops.attention import attention
+from avsiam_tpu.ops.attention import attention_qkv
 from avsiam_tpu.ops.patchify import audio_to_image, patchify
 
 Dtype = Any
@@ -119,14 +119,19 @@ class Attention(nn.Module):
                              param_dtype=jnp.float32)
 
     def attend(self, qkv, key_valid: Optional[jnp.ndarray] = None):
-        """[B, N, 3C] fused projections -> [B, N, C] attention output."""
+        """[B, N, 3C] fused projections -> [B, N, C] attention output.
+
+        The packed [B, N, 3, H, D] tensor goes to the kernel whole — the
+        Pallas path pays ONE fused transpose+pad instead of per-q/k/v layout
+        ops (ops/attention.py:attention_qkv)."""
         B, N, _ = qkv.shape
         H = self.num_heads
         D = self.dim // H
         qkv = qkv.reshape(B, N, 3, H, D)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = attention(q, k, v, key_valid=key_valid, impl=self.attn_impl)
-        return out.reshape(B, N, self.dim), k
+        out = attention_qkv(qkv, key_valid=key_valid, impl=self.attn_impl)
+        # k is consumed only by the ToMe metric path; the slice is dead code
+        # (free) otherwise
+        return out.reshape(B, N, self.dim), qkv[:, :, 1]
 
     def __call__(self, x, key_valid: Optional[jnp.ndarray] = None,
                  tome: bool = False):

@@ -38,7 +38,7 @@ except ImportError:  # pragma: no cover
 
 _NEG_INF = -1e30
 _LANE = 128
-_HEAD_PACKING = False  # see _heads_per_program
+_HPP_OVERRIDE: Optional[int] = None  # benchmark knob; None = heuristic
 
 
 def _round_up(x: int, m: int) -> int:
@@ -65,78 +65,126 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Pallas fused attention (forward)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
-                hpp: int):
-    # q_ref: [1, hpp, BQ, D], k_ref/v_ref: [1, hpp, Np, D], bias: [1, 1, Np]
-    # hpp heads processed per grid program (statically unrolled): amortizes
-    # per-program overhead for many-small-head configs (e.g. the MAE decoder's
-    # 16 heads of dim 32)
-    for h in range(hpp):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, Np]
-        s = s * scale + bias_ref[0]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        # normalization deferred past the PV matmul: one reciprocal + one
-        # multiply PER ROW instead of N^2 divisions (softmax is the VPU
-        # bottleneck of this kernel — the matmuls are small at AVSiam D)
-        o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, h] = (o * (1.0 / denom)).astype(o_ref.dtype)
+def _attn_fwd_math(q, k, v, bias_row, scale: float, o_dtype):
+    """One head's fused attention: [Nq, D] x [Nk, D] -> [Nq, D]."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Nq, Nk]
+    s = s * scale
+    if bias_row is not None:
+        s = s + bias_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    # normalization deferred past the PV matmul: one reciprocal + one
+    # multiply PER ROW instead of N^2 divisions (softmax is the VPU
+    # bottleneck of this kernel — the matmuls are small at AVSiam D)
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return (o * (1.0 / denom)).astype(o_dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale: float, hpp: int):
-    # tensor refs: [1, hpp, Np, D] (full sequence per program); bias [1,1,Np].
-    # Matmul operands stay in the INPUT dtype (bf16 on TPU: 4x the MXU rate of
-    # f32) with f32 accumulation; softmax statistics and the softmax VJP run
-    # in f32. This matches the precision of the XLA fallback's autodiff
-    # (einsums over bf16 operands with preferred_element_type=f32) — for f32
-    # inputs the casts are no-ops and the math is unchanged.
+def _attn_bwd_math(q, k, v, do, bias_row, scale: float):
+    """One head's fused attention backward: returns (dq, dk, dv) f32.
+
+    Matmul operands stay in the INPUT dtype (bf16 on TPU: 4x the MXU rate of
+    f32) with f32 accumulation; softmax statistics and the softmax VJP run
+    in f32. This matches the precision of the XLA fallback's autodiff
+    (einsums over bf16 operands with preferred_element_type=f32) — for f32
+    inputs the casts are no-ops and the math is unchanged.
+    """
+    do = do.astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if bias_row is not None:
+        s = s + bias_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)  # unnormalized probs: p = e * r, r = 1/rowsum(e)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [Nq, 1]
+    # With p = e*r and row factors pulled out of every N^2 term, the
+    # softmax VJP needs only elementwise mults on [Nq, Nk] (the N^2
+    # division of p = e/denom — the kernel's VPU hotspot — becomes
+    # N*D-sized row scalings around the matmuls):
+    #   dv = p^T do           = e^T (r*do)
+    #   dp = do v^T
+    #   c  = rowsum(dp * p)   = r * rowsum(dp * e)
+    #   ds = p * (dp - c)     = r * [e * (dp - c)]
+    #   dq = (ds k) * scale   = r * [(e*(dp-c)) k] * scale
+    #   dk = ds^T q * scale   = [e*(dp-c)]^T (r*q) * scale
+    dor = (r * do).astype(v.dtype)
+    eb = e.astype(v.dtype)
+    dv = jax.lax.dot_general(  # e^T @ (r do): contract rows
+        eb, dor, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(  # do @ v^T: contract D
+        do.astype(v.dtype), v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    c = r * jnp.sum(dp * e, axis=-1, keepdims=True)
+    es = (e * (dp - c)).astype(q.dtype)  # ds = r * es
+    dq = (jnp.dot(es, k, preferred_element_type=jnp.float32)
+          * (scale * r))
+    qr = (r * q.astype(jnp.float32)).astype(q.dtype)
+    dk = jax.lax.dot_general(  # es^T @ (r q): contract rows
+        es, qr, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    return dq, dk, dv
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, *refs, scale: float, hpp: int):
+    # q_ref: [1, hpp, BQ, D], k_ref/v_ref: [1, hpp, Np, D]; an optional bias
+    # ref [1, 1, Np] precedes the output ref (compile-time: unmasked calls —
+    # every hot path — skip the N^2 bias add and its DMA entirely)
+    bias_ref, o_ref = refs if len(refs) == 2 else (None, refs[0])
+    bias_row = None if bias_ref is None else bias_ref[0]
     for h in range(hpp):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        do = do_ref[0, h].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias_ref[0]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)  # unnormalized probs: p = e * r, r = 1/rowsum(e)
-        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [Nq, 1]
-        # With p = e*r and row factors pulled out of every N^2 term, the
-        # softmax VJP needs only elementwise mults on [Nq, Nk] (the N^2
-        # division of p = e/denom — the kernel's VPU hotspot — becomes
-        # N*D-sized row scalings around the matmuls):
-        #   dv = p^T do           = e^T (r*do)
-        #   dp = do v^T
-        #   c  = rowsum(dp * p)   = r * rowsum(dp * e)
-        #   ds = p * (dp - c)     = r * [e * (dp - c)]
-        #   dq = (ds k) * scale   = r * [(e*(dp-c)) k] * scale
-        #   dk = ds^T q * scale   = [e*(dp-c)]^T (r*q) * scale
-        dor = (r * do).astype(v.dtype)
-        eb = e.astype(v.dtype)
-        dv_ref[0, h] = jax.lax.dot_general(  # e^T @ (r do): contract rows
-            eb, dor, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-        dp = jax.lax.dot_general(  # do @ v^T: contract D
-            do.astype(v.dtype), v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        c = r * jnp.sum(dp * e, axis=-1, keepdims=True)
-        es = (e * (dp - c)).astype(q.dtype)  # ds = r * es
-        dq_ref[0, h] = (jnp.dot(es, k, preferred_element_type=jnp.float32)
-                        * (scale * r)).astype(dq_ref.dtype)
-        qr = (r * q.astype(jnp.float32)).astype(q.dtype)
-        dk_ref[0, h] = (jax.lax.dot_general(  # es^T @ (r q): contract rows
-            es, qr, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        o_ref[0, h] = _attn_fwd_math(q_ref[0, h], k_ref[0, h], v_ref[0, h],
+                                     bias_row, scale, o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, *refs, scale: float, hpp: int):
+    # tensor refs: [1, hpp, Np, D] (full sequence per program); optional bias
+    # [1,1,Np] precedes do/dq/dk/dv (see _fwd_kernel).
+    if len(refs) == 5:
+        bias_ref, do_ref, dq_ref, dk_ref, dv_ref = refs
+    else:
+        bias_ref = None
+        do_ref, dq_ref, dk_ref, dv_ref = refs
+    bias_row = None if bias_ref is None else bias_ref[0]
+    for h in range(hpp):
+        dq, dk, dv = _attn_bwd_math(q_ref[0, h], k_ref[0, h], v_ref[0, h],
+                                    do_ref[0, h], bias_row, scale)
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _fwd_kernel_packed(qkv_ref, *refs, scale: float):
+    # qkv_ref: [3, 1, 1, Np, D] (q/k/v slabs of ONE head in one operand — the
+    # wrapper transposes+pads the model's packed qkv projection ONCE instead
+    # of 3 slices + 3 transposes + 3 pads per call); optional bias [1, 1, Np]
+    bias_ref, o_ref = refs if len(refs) == 2 else (None, refs[0])
+    bias_row = None if bias_ref is None else bias_ref[0]
+    o_ref[0, 0] = _attn_fwd_math(qkv_ref[0, 0, 0], qkv_ref[1, 0, 0],
+                                 qkv_ref[2, 0, 0], bias_row, scale,
+                                 o_ref.dtype)
+
+
+def _bwd_kernel_packed(qkv_ref, *refs, scale: float):
+    if len(refs) == 3:
+        bias_ref, do_ref, dqkv_ref = refs
+    else:
+        bias_ref = None
+        do_ref, dqkv_ref = refs
+    bias_row = None if bias_ref is None else bias_ref[0]
+    dq, dk, dv = _attn_bwd_math(qkv_ref[0, 0, 0], qkv_ref[1, 0, 0],
+                                qkv_ref[2, 0, 0], do_ref[0, 0],
+                                bias_row, scale)
+    dqkv_ref[0, 0, 0] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[1, 0, 0] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[2, 0, 0] = dv.astype(dqkv_ref.dtype)
 
 
 def _pad_tokens(x: jnp.ndarray, n_to: int) -> jnp.ndarray:
@@ -163,49 +211,64 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _heads_per_program(H: int, Np: int, D: int, itemsize: int,
-                       budget_bytes: int = 8 * 1024 * 1024) -> int:
-    """Pick how many heads one grid program handles: pack as many as the VMEM
-    budget allows. The statically-unrolled head loop keeps each iteration's
-    buffers live, so the f32 score matrix counts PER HEAD.
+def _params():
+    """Raise the Mosaic scoped-VMEM cap (default 16 MB) so head-packed
+    operand blocks fit; same practice as ops/mlp.py."""
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    Measured on v5e: packing the MAE decoder's 16 dim-32 heads bought only
-    ~1% step time while nearly doubling compile time (per-program dispatch
-    overhead is evidently small on this runtime), so the default is one head
-    per program; the mechanism stays for environments where dispatch is
-    costlier (set _HEAD_PACKING = True to re-enable)."""
-    if not _HEAD_PACKING:
-        return 1
-    per_head = 4 * Np * D * itemsize + Np * Np * 4
-    hpp = max(1, budget_bytes // max(per_head, 1))
-    hpp = int(min(hpp, H))
+
+def _heads_per_program(H: int, Np: int, D: int, itemsize: int,
+                       bwd: bool = False) -> int:
+    """Pick how many heads one grid program handles.
+
+    AVSiam's attention calls are many-small-program shaped (N <= 768, head
+    dim 32/64, grids of B*H = 384-512 programs): per-program dispatch
+    overhead and poor pipelining dominate over the tiny per-head matmuls, so
+    the kernel packs as many heads per program as the VMEM budget allows
+    (the score-matrix temporaries of the statically-unrolled head loop are
+    reused across iterations by Mosaic; only the [1, hpp, Np, D] operand
+    blocks scale with hpp). Measured on v5e (scripts/dissect.py sweep): the
+    MAE-encoder shape (Np=128) drops ~4x, decoder (Np=768, D=32) ~1.6x."""
+    if _HPP_OVERRIDE is not None:
+        hpp = int(min(_HPP_OVERRIDE, H))
+    else:
+        temps = (4 if bwd else 2) * Np * Np * 4
+        per_head = (7 if bwd else 4) * Np * D * itemsize
+        budget = 64 * 1024 * 1024 - temps
+        hpp = int(min(H, max(1, budget // max(per_head, 1))))
     while H % hpp != 0:  # grid needs an even split
         hpp -= 1
     return max(hpp, 1)
 
 
 def _pallas_fwd(q, k, v, bias, *, block_q: int):
-    # q,k,v: [B, H, Np, D]; bias: [B, 1, Np]
+    # q,k,v: [B, H, Np, D]; bias: [B, 1, Np] or None (no masking needed)
     B, H, Np, D = q.shape
     scale = D ** -0.5
     if block_q == Np:
-        hpp = _heads_per_program(H, Np, D, q.dtype.itemsize)
+        hpp = _heads_per_program(H, Np, D, q.dtype.itemsize, bwd=False)
     else:
         hpp = 1
     grid = (B, H // hpp, Np // block_q)
     kv_spec = pl.BlockSpec((1, hpp, Np, D), lambda b, h, i: (b, h, 0, 0),
                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, hpp, block_q, D), lambda b, h, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        kv_spec,
+        kv_spec,
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Np), lambda b, h, i: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, hpp=hpp),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, hpp, block_q, D), lambda b, h, i: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
-            kv_spec,
-            kv_spec,
-            pl.BlockSpec((1, 1, Np), lambda b, h, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hpp, block_q, D),
                                lambda b, h, i: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
@@ -215,31 +278,36 @@ def _pallas_fwd(q, k, v, bias, *, block_q: int):
             bytes_accessed=(3 * B * H * Np * D + B * H * Np * D) * q.dtype.itemsize,
             transcendentals=B * H * Np * Np,
         ),
+        compiler_params=_params(),
         interpret=_interpret(),
-    )(q, k, v, bias)
+    )(*args)
 
 
 def _pallas_bwd(q, k, v, bias, do):
     B, H, Np, D = q.shape
     scale = D ** -0.5
-    # bwd holds ~8 per-head buffers + ds/p score matrices: halve the budget
-    hpp = _heads_per_program(H, Np, D, q.dtype.itemsize,
-                             budget_bytes=4 * 1024 * 1024)
+    hpp = _heads_per_program(H, Np, D, q.dtype.itemsize, bwd=True)
     grid = (B, H // hpp)
     full = pl.BlockSpec((1, hpp, Np, D), lambda b, h: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
+    in_specs = [full, full, full]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Np), lambda b, h: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    in_specs.append(full)
+    args.append(do)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, hpp=hpp),
         grid=grid,
-        in_specs=[full, full, full,
-                  pl.BlockSpec((1, 1, Np), lambda b, h: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  full],
+        in_specs=in_specs,
         out_specs=(full, full, full),
         out_shape=tuple(jax.ShapeDtypeStruct((B, H, Np, D), q.dtype)
                         for _ in range(3)),
+        compiler_params=_params(),
         interpret=_interpret(),
-    )(q, k, v, bias, do)
+    )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -277,18 +345,151 @@ def pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qt = _pad_tokens(q.transpose(0, 2, 1, 3), Np)
     kt = _pad_tokens(k.transpose(0, 2, 1, 3), Np)
     vt = _pad_tokens(v.transpose(0, 2, 1, 3), Np)
-    bias = _bias_from_valid(key_valid, B, N, Np)
+    if key_valid is None and Np == N:
+        bias = None  # nothing to mask: skip the N^2 bias add + its DMA
+    else:
+        bias = _bias_from_valid(key_valid, B, N, Np)
     out = _pallas_attention(qt, kt, vt, bias, block_q)
     return out[:, :, :N, :].transpose(0, 2, 1, 3)
+
+
+def _pallas_fwd_packed(qkvt, bias):
+    # qkvt: [3, B, H, Np, D]; bias: [B, 1, Np] or None
+    _, B, H, Np, D = qkvt.shape
+    scale = D ** -0.5
+    grid = (B, H)
+    qkv_spec = pl.BlockSpec((3, 1, 1, Np, D), lambda b, h: (0, b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec]
+    args = [qkvt]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Np), lambda b, h: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, D), qkvt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Np * Np * D,
+            bytes_accessed=4 * B * H * Np * D * qkvt.dtype.itemsize,
+            transcendentals=B * H * Np * Np,
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _pallas_bwd_packed(qkvt, bias, do):
+    _, B, H, Np, D = qkvt.shape
+    scale = D ** -0.5
+    grid = (B, H)
+    qkv_spec = pl.BlockSpec((3, 1, 1, Np, D), lambda b, h: (0, b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bhnd = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec]
+    args = [qkvt]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 1, Np), lambda b, h: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    in_specs.append(bhnd)
+    args.append(do)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((3, B, H, Np, D), qkvt.dtype),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(*args)
+
+
+@jax.custom_vjp
+def _pallas_attention_packed(qkvt, bias):
+    return _pallas_fwd_packed(qkvt, bias)
+
+
+def _pallas_attention_packed_fwd(qkvt, bias):
+    return _pallas_fwd_packed(qkvt, bias), (qkvt, bias)
+
+
+def _pallas_attention_packed_bwd(residuals, do):
+    qkvt, bias = residuals
+    return _pallas_bwd_packed(qkvt, bias, do), None
+
+
+_pallas_attention_packed.defvjp(_pallas_attention_packed_fwd,
+                                _pallas_attention_packed_bwd)
+
+
+def pallas_attention_qkv(qkv: jnp.ndarray,
+                         key_valid: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """Fused TPU attention on the PACKED qkv projection [B, N, 3, H, D].
+
+    The per-call layout work collapses to ONE fused transpose+pad of the
+    packed tensor (and its single inverse in the backward) — profiling showed
+    the separate q/k/v path spending more device time in pad/copy/slice
+    fusions around the kernels than inside them (BENCH_NOTES.md round 2).
+    Returns [B, N, H, D]."""
+    B, N, _, H, D = qkv.shape
+    Np = _round_up(N, _LANE)
+    qkvt = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, H, N, D]
+    if Np != N:
+        qkvt = jnp.pad(qkvt, ((0, 0), (0, 0), (0, 0), (0, Np - N), (0, 0)))
+    if key_valid is None and Np == N:
+        bias = None
+    else:
+        bias = _bias_from_valid(key_valid, B, N, Np)
+    out = _pallas_attention_packed(qkvt, bias)
+    return out[:, :, :N, :].transpose(0, 2, 1, 3)
+
+
+def attention_qkv(qkv: jnp.ndarray,
+                  key_valid: Optional[jnp.ndarray] = None,
+                  impl: str = "auto") -> jnp.ndarray:
+    """Attention on the packed qkv projection [B, N, 3, H, D] -> [B, N, H, D].
+    Same dispatch rules as ``attention``; the pallas path avoids per-tensor
+    layout ops (see pallas_attention_qkv)."""
+    if impl == "auto":
+        if _HAS_PLTPU and jax.default_backend() == "tpu":
+            impl = "xla" if qkv.shape[1] <= _XLA_SMALL_N else "pallas"
+        else:
+            impl = "xla"
+    if impl == "pallas":
+        return pallas_attention_qkv(qkv, key_valid)
+    return xla_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], key_valid)
+
+
+_XLA_SMALL_N = 256  # measured crossover on v5e, see docstring
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               key_valid: Optional[jnp.ndarray] = None,
               impl: str = "auto",
               block_q: Optional[int] = None) -> jnp.ndarray:
-    """Dispatch: 'pallas' | 'xla' | 'auto' (pallas on TPU, xla elsewhere)."""
+    """Dispatch: 'pallas' | 'xla' | 'auto'.
+
+    'auto' on TPU picks by padded sequence length (measured on v5e,
+    scripts/dissect.py): short sequences (N <= 256 — the MAE encoder's 128/49
+    kept tokens, the fusion layers' 177, small mmixed chunks) run ~2.3x
+    faster through XLA's fused softmax-attention (the [B,H,N,N] f32 scores
+    it materializes are small, and Pallas' per-program cost dominates at
+    these sizes); long sequences (512-768: full audio, the MAE decoder) run
+    ~1.8x faster in the Pallas kernel (XLA's HBM score round-trips grow with
+    N^2). Off-TPU always XLA."""
     if impl == "auto":
-        impl = "pallas" if (_HAS_PLTPU and jax.default_backend() == "tpu") else "xla"
+        if _HAS_PLTPU and jax.default_backend() == "tpu":
+            impl = "xla" if q.shape[1] <= _XLA_SMALL_N else "pallas"
+        else:
+            impl = "xla"
     if impl == "pallas":
         return pallas_attention(q, k, v, key_valid, block_q=block_q)
     return xla_attention(q, k, v, key_valid)

@@ -36,7 +36,10 @@ def take_tokens(x: jnp.ndarray, ids: jnp.ndarray,
     if impl == "auto":
         impl = _auto_impl()
     if impl == "gather":
-        return jnp.take_along_axis(x, ids[:, :, None], axis=1)
+        # mode="clip": out-of-range ids (used as inert padding rows by
+        # random_masking(pad_to=...)) must clamp, not fill with NaN — NaN
+        # keys would poison every masked softmax they appear in
+        return jnp.take_along_axis(x, ids[:, :, None], axis=1, mode="clip")
     L = x.shape[1]
     p = jax.nn.one_hot(ids, L, dtype=x.dtype)  # [N, K, L]
     y = jnp.einsum("nkl,nld->nkd", p, x,
@@ -52,7 +55,7 @@ def take_batch(x: jnp.ndarray, ids: jnp.ndarray,
     if impl == "auto":
         impl = _auto_impl()
     if impl == "gather":
-        return jnp.take(x, ids, axis=0)
+        return jnp.take(x, ids, axis=0, mode="clip")
     B = x.shape[0]
     p = jax.nn.one_hot(ids, B, dtype=x.dtype)  # [S, B]
     flat = x.reshape(B, -1)

@@ -41,18 +41,33 @@ def _mask_from_shuffle(ids_shuffle: jnp.ndarray, len_keep: int):
 
 
 def random_masking(rng: jax.Array, x: jnp.ndarray, len_keep: int,
-                   noise: jnp.ndarray | None = None
+                   noise: jnp.ndarray | None = None,
+                   pad_to: int | None = None,
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Unstructured per-sample random masking with gather.
 
     Parity: cav_mae_base.py:365-390. Returns (x_masked [N,len_keep,D],
     mask [N,L] with 1=removed, ids_restore [N,L]).
+
+    ``pad_to`` (>= len_keep) gathers into a [N, pad_to, D] array whose tail
+    rows are inert (zeros on the TPU one-hot-GEMM path): lane-aligned pad_to
+    means the attention kernels see an already-aligned sequence and no
+    pad/slice copies appear around them. Tail rows must be excluded
+    downstream via an attention key-validity mask + masked pooling — under
+    which they are mathematically invisible (tests/test_attention.py:
+    masked == dropped).
     """
     N, L, _ = x.shape
     if noise is None:
         noise = jax.random.uniform(rng, (N, L))
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]
+    if pad_to is not None and pad_to > len_keep:
+        # out-of-range ids make zero one-hot rows (TPU) / clamped junk rows
+        # (CPU gather) — either is masked out downstream
+        ids_keep = jnp.concatenate(
+            [ids_keep, jnp.full((N, pad_to - len_keep), L, ids_keep.dtype)],
+            axis=1)
     x_masked = take_tokens(x, ids_keep)  # one-hot GEMM on TPU (no scatter bwd)
     ids_restore, mask = _mask_from_shuffle(ids_shuffle, len_keep)
     return x_masked, mask, ids_restore
@@ -92,7 +107,8 @@ def structured_noise(rng: jax.Array, N: int, f: int, t: int, mask_ratio: float,
 
 
 def random_masking_structured(rng: jax.Array, x: jnp.ndarray, mask_ratio: float,
-                              t: int = 64, f: int = 8, mode: str = "time"
+                              t: int = 64, f: int = 8, mode: str = "time",
+                              pad_to: int | None = None,
                               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Structured masking with gather. Parity: cav_mae_base.py:392-439."""
     N, L, _ = x.shape
@@ -100,7 +116,7 @@ def random_masking_structured(rng: jax.Array, x: jnp.ndarray, mask_ratio: float,
     k_noise, k_sets = jax.random.split(rng)
     noise = structured_noise(k_sets, N, f, t, mask_ratio, mode)
     len_keep = len_keep_for(L, mask_ratio)
-    return random_masking(k_noise, x, len_keep, noise=noise)
+    return random_masking(k_noise, x, len_keep, noise=noise, pad_to=pad_to)
 
 
 def keep_mask_unstructured(rng: jax.Array, N: int, L: int, len_keep: int) -> jnp.ndarray:

@@ -14,7 +14,12 @@
 
 from __future__ import annotations
 
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 from avsiam_tpu.configs import OptimizerConfig
 
@@ -33,6 +38,68 @@ def masked_torch_adam(cfg: OptimizerConfig, mask) -> optax.GradientTransformatio
     DDP(find_unused_parameters=True) skipping untouched params: masked-out
     leaves get no moment updates, no weight decay, and zero update."""
     return optax.masked(torch_adam(cfg), mask)
+
+
+class FlatAdamState(NamedTuple):
+    """Adam moments over the flattened parameter vector."""
+
+    count: jnp.ndarray  # int32 scalar
+    mu: jnp.ndarray  # [P] f32
+    nu: jnp.ndarray  # [P] f32
+
+
+class FlatMaskedAdam(NamedTuple):
+    init: Callable[[Any], FlatAdamState]
+    # step(grads, state, params, lr) -> (new_params, new_state)
+    step: Callable[..., Any]
+
+
+def flat_masked_torch_adam(cfg: OptimizerConfig, mask) -> FlatMaskedAdam:
+    """torch-Adam over ONE flattened [P] vector instead of per-leaf trees.
+
+    Identical math to ``optax.masked(torch_adam(cfg), mask)`` followed by
+    ``params - lr * update`` (verified update-for-update in
+    tests/test_train_steps.py): weight decay is added to the gradient of
+    MASKED leaves only; untouched leaves carry exact-zero gradients in the
+    two-pass step, so their flat moments stay 0 and their update is
+    0/(sqrt(0)+eps) = 0 — the same frozen-moment semantics as optax.masked.
+
+    MEASURED NEGATIVE on v5e and NOT used by the train steps: the full
+    pretrain step ran 264 -> 308 ms with this optimizer — the per-step
+    ravel/unravel copies (~3 GB extra HBM traffic) and the loss of XLA's
+    donation aliasing on the param tree cost more than the per-leaf kernel
+    count saved. Kept (with its equivalence test) as the documented record
+    of that experiment; the in-step cost of the per-leaf masked Adams is
+    ~12 ms, already near the HBM bound.
+
+    ``mask`` maps the param tree to a tree of PYTHON bools (static — leaf
+    routing happens at trace time, no runtime select).
+    """
+
+    def init(params) -> FlatAdamState:
+        flat, _ = ravel_pytree(params)
+        return FlatAdamState(count=jnp.zeros((), jnp.int32),
+                             mu=jnp.zeros_like(flat),
+                             nu=jnp.zeros_like(flat))
+
+    def step(grads, state: FlatAdamState, params, lr):
+        keep = mask(params)
+        gp = jax.tree_util.tree_map(
+            lambda g, p, m: g + cfg.weight_decay * p if m
+            else jnp.zeros_like(g),
+            grads, params, keep)
+        gflat, _ = ravel_pytree(gp)
+        pflat, unravel = ravel_pytree(params)
+        count = state.count + 1
+        mu = cfg.b1 * state.mu + (1.0 - cfg.b1) * gflat
+        nu = cfg.b2 * state.nu + (1.0 - cfg.b2) * (gflat * gflat)
+        cf = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - cfg.b1 ** cf)
+        nu_hat = nu / (1.0 - cfg.b2 ** cf)
+        pnew = pflat - lr * (mu_hat / (jnp.sqrt(nu_hat) + cfg.eps))
+        return unravel(pnew), FlatAdamState(count=count, mu=mu, nu=nu)
+
+    return FlatMaskedAdam(init=init, step=step)
 
 
 def multistep_lr_factor(epoch_1indexed: int, start: int, step: int,

@@ -39,9 +39,22 @@ class PretrainState(NamedTuple):
 
 
 def make_optimizers(cfg: PretrainConfig):
+    """Two per-leaf masked Adams — the find_unused_parameters=True equivalent
+    of the reference's two optimizers (traintest_cavmae_base.py:64-66).
+    A single flat-[P]-vector variant (optim.flat_masked_torch_adam) was
+    measured SLOWER end-to-end (step 264 -> 308 ms: the ravel/unravel copies
+    and lost donation aliasing outweigh the kernel-count savings), so the
+    per-leaf form stays."""
     tx1 = masked_torch_adam(cfg.opt, lambda p: pg.mask_tree(p, pg.touched_contrastive))
     tx2 = masked_torch_adam(cfg.opt, lambda p: pg.mask_tree(p, pg.touched_mae))
     return tx1, tx2
+
+
+def _apply(tx, grads, opt_state, params, lr):
+    updates, opt_state = tx.update(grads, opt_state, params)
+    updates = jax.tree_util.tree_map(lambda u: (-lr * u).astype(u.dtype), updates)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state
 
 
 def init_state(rng: jax.Array, model: CAVMAEPretrain, cfg: PretrainConfig,
@@ -55,13 +68,6 @@ def init_state(rng: jax.Array, model: CAVMAEPretrain, cfg: PretrainConfig,
     tx1, tx2 = make_optimizers(cfg)
     return PretrainState(params=params, opt1=tx1.init(params),
                          opt2=tx2.init(params), step=jnp.zeros((), jnp.int32))
-
-
-def _apply(tx, grads, opt_state, params, lr):
-    updates, opt_state = tx.update(grads, opt_state, params)
-    updates = jax.tree_util.tree_map(lambda u: (-lr * u).astype(u.dtype), updates)
-    params = optax.apply_updates(params, updates)
-    return params, opt_state
 
 
 def make_pretrain_step(model: CAVMAEPretrain, cfg: PretrainConfig):

@@ -49,10 +49,11 @@ def main():
     n_chips = jax.device_count()
     B = int(__import__("os").environ.get("BENCH_BATCH", "32"))
 
-    # best measured single-chip parity configuration: Pallas fused attention
-    # (full-sequence q blocks) + exact chunked mmixed encoder (40% fewer
+    # best measured single-chip parity configuration: size-dispatched
+    # attention (Pallas fused kernel for long sequences, XLA for short — see
+    # ops/attention.py 'auto') + exact chunked mmixed encoder (40% fewer
     # pass-1 FLOPs than the padded multichip-friendly form)
-    model_cfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl="pallas",
+    model_cfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl="auto",
                              mmixed_impl="exact")
     cfg = PretrainConfig(model=model_cfg, opt=OptimizerConfig(lr=2e-4),
                          batch_size=B)

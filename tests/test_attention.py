@@ -77,3 +77,34 @@ def test_bf16_forward_close():
     out_p = pallas_attention(qb, kb, vb).astype(jnp.float32)
     out_x = xla_attention(q, k, v)
     assert jnp.max(jnp.abs(out_p - out_x)) < 0.05
+
+
+def test_packed_qkv_matches_separate():
+    """attention_qkv (packed q/k/v, single-operand kernel) must match the
+    separate-tensor path in forward and gradients, masked and unmasked,
+    padded (N=130) and aligned (N=128)."""
+    from avsiam_tpu.ops.attention import attention_qkv
+
+    for N, masked in ((128, False), (130, False), (130, True)):
+        rng = jax.random.PRNGKey(N)
+        qkv = jax.random.normal(rng, (2, N, 3, 3, 64))
+        valid = (jax.random.uniform(rng, (2, N)) > 0.3) if masked else None
+
+        def loss_packed(qkv):
+            return jnp.sum(attention_qkv(qkv, key_valid=valid,
+                                         impl="pallas") ** 2)
+
+        def loss_sep(qkv):
+            return jnp.sum(pallas_attention(qkv[:, :, 0], qkv[:, :, 1],
+                                            qkv[:, :, 2], key_valid=valid) ** 2)
+
+        out_p = attention_qkv(qkv, key_valid=valid, impl="pallas")
+        out_s = pallas_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                                 key_valid=valid)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                                   atol=1e-5, rtol=1e-5)
+        gp = jax.grad(loss_packed)(qkv)
+        gs = jax.grad(loss_sep)(qkv)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"N={N} masked={masked}")

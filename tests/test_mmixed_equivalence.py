@@ -178,3 +178,27 @@ def test_keep_counts_per_ratio():
     ratios = [0.2 * i for i in range(5)]
     keeps = [mk.len_keep_for(L, r) for r in ratios]
     assert keeps == [64, 51, 38, 25, 12]
+
+
+def test_bucketed_equals_exact():
+    """The 'bucketed' impl (lane-aligned gathers + masked tails) must produce
+    the same contrastive embeddings as 'exact' under the same RNG: identical
+    chunk gathers and keep-set draws, inert pad rows."""
+    from avsiam_tpu.configs import replace as cfg_replace
+    cfg, model, params, a, v = _setup()
+    rngs = {"mask": jax.random.PRNGKey(7), "perm": jax.random.PRNGKey(9)}
+
+    def run(impl):
+        m = CAVMAEPretrain(cfg_replace(cfg, mmixed_impl=impl))
+
+        def fwd(mdl):
+            return mdl.forward_encoder_mmixed(a, v)
+
+        return m.apply(params, method=fwd, rngs=dict(rngs))
+
+    ca_e, cv_e = run("exact")
+    ca_b, cv_b = run("bucketed")
+    np.testing.assert_allclose(np.asarray(ca_b), np.asarray(ca_e),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cv_b), np.asarray(cv_e),
+                               atol=1e-5, rtol=1e-5)

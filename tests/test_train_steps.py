@@ -112,3 +112,49 @@ def test_dryrun_multichip_8dev():
     import __graft_entry__
     assert len(jax.devices()) == 8
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_flat_masked_adam_matches_optax_masked():
+    """flat_masked_torch_adam (one [P]-vector Adam, train/optim.py) must be
+    update-for-update identical to optax.masked(torch_adam) + apply, for
+    several steps, including frozen moments on masked-out leaves."""
+    import numpy as np
+    import optax
+
+    from avsiam_tpu.configs import OptimizerConfig
+    from avsiam_tpu.train.optim import (flat_masked_torch_adam, torch_adam)
+
+    cfg = OptimizerConfig(lr=1e-3, weight_decay=1e-2)
+    rng = jax.random.PRNGKey(0)
+    params = {
+        "a": jax.random.normal(rng, (5, 4)),
+        "b": {"w": jax.random.normal(jax.random.fold_in(rng, 1), (3,)),
+              "frozen": jax.random.normal(jax.random.fold_in(rng, 2), (2, 2))},
+    }
+    mask = lambda p: {"a": True, "b": {"w": True, "frozen": False}}
+
+    flat = flat_masked_torch_adam(cfg, mask)
+    ref_tx = optax.masked(torch_adam(cfg), mask)
+
+    p_flat, s_flat = params, flat.init(params)
+    p_ref, s_ref = params, ref_tx.init(params)
+    lr = 1e-3
+    for i in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.sin(p + i), params)
+        # masked-out leaves carry zero grads in the real step
+        grads["b"]["frozen"] = jnp.zeros_like(grads["b"]["frozen"])
+        p_flat, s_flat = flat.step(grads, s_flat, p_flat, lr)
+        updates, s_ref = ref_tx.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(
+            p_ref, jax.tree_util.tree_map(lambda u: -lr * u, updates))
+        for path in (("a",), ("b", "w"), ("b", "frozen")):
+            a, b = p_flat, p_ref
+            for k in path:
+                a, b = a[k], b[k]
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6,
+                                       err_msg=f"step {i} {path}")
+    # frozen leaf must be bit-unchanged from init
+    np.testing.assert_array_equal(np.asarray(p_flat["b"]["frozen"]),
+                                  np.asarray(params["b"]["frozen"]))
