@@ -121,17 +121,16 @@ class Attention(nn.Module):
     def attend(self, qkv, key_valid: Optional[jnp.ndarray] = None):
         """[B, N, 3C] fused projections -> [B, N, C] attention output.
 
-        The packed [B, N, 3, H, D] tensor goes to the kernel whole — the
-        Pallas path pays ONE fused transpose+pad instead of per-q/k/v layout
-        ops (ops/attention.py:attention_qkv)."""
+        The raw qkv projection goes to the token-major kernel as-is — the
+        Pallas path reads/writes the GEMM's natural layout with NO
+        transposes (ops/attention.py:attention_qkv)."""
         B, N, _ = qkv.shape
         H = self.num_heads
         D = self.dim // H
-        qkv = qkv.reshape(B, N, 3, H, D)
-        out = attention_qkv(qkv, key_valid=key_valid, impl=self.attn_impl)
+        out = attention_qkv(qkv, H, key_valid=key_valid, impl=self.attn_impl)
         # k is consumed only by the ToMe metric path; the slice is dead code
         # (free) otherwise
-        return out.reshape(B, N, self.dim), qkv[:, :, 1]
+        return out, qkv.reshape(B, N, 3, H, D)[:, :, 1]
 
     def __call__(self, x, key_valid: Optional[jnp.ndarray] = None,
                  tome: bool = False):

@@ -161,32 +161,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, *refs, scale: float, hpp: int):
         dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _fwd_kernel_packed(qkv_ref, *refs, scale: float):
-    # qkv_ref: [3, 1, 1, Np, D] (q/k/v slabs of ONE head in one operand — the
-    # wrapper transposes+pads the model's packed qkv projection ONCE instead
-    # of 3 slices + 3 transposes + 3 pads per call); optional bias [1, 1, Np]
-    bias_ref, o_ref = refs if len(refs) == 2 else (None, refs[0])
-    bias_row = None if bias_ref is None else bias_ref[0]
-    o_ref[0, 0] = _attn_fwd_math(qkv_ref[0, 0, 0], qkv_ref[1, 0, 0],
-                                 qkv_ref[2, 0, 0], bias_row, scale,
-                                 o_ref.dtype)
-
-
-def _bwd_kernel_packed(qkv_ref, *refs, scale: float):
-    if len(refs) == 3:
-        bias_ref, do_ref, dqkv_ref = refs
-    else:
-        bias_ref = None
-        do_ref, dqkv_ref = refs
-    bias_row = None if bias_ref is None else bias_ref[0]
-    dq, dk, dv = _attn_bwd_math(qkv_ref[0, 0, 0], qkv_ref[1, 0, 0],
-                                qkv_ref[2, 0, 0], do_ref[0, 0],
-                                bias_row, scale)
-    dqkv_ref[0, 0, 0] = dq.astype(dqkv_ref.dtype)
-    dqkv_ref[1, 0, 0] = dk.astype(dqkv_ref.dtype)
-    dqkv_ref[2, 0, 0] = dv.astype(dqkv_ref.dtype)
-
-
 def _pad_tokens(x: jnp.ndarray, n_to: int) -> jnp.ndarray:
     n = x.shape[2]
     if n == n_to:
@@ -353,121 +327,6 @@ def pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out[:, :, :N, :].transpose(0, 2, 1, 3)
 
 
-def _pallas_fwd_packed(qkvt, bias):
-    # qkvt: [3, B, H, Np, D]; bias: [B, 1, Np] or None
-    _, B, H, Np, D = qkvt.shape
-    scale = D ** -0.5
-    grid = (B, H)
-    qkv_spec = pl.BlockSpec((3, 1, 1, Np, D), lambda b, h: (0, b, h, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
-                            memory_space=pltpu.VMEM)
-    in_specs = [qkv_spec]
-    args = [qkvt]
-    if bias is not None:
-        in_specs.append(pl.BlockSpec((1, 1, Np), lambda b, h: (b, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(bias)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel_packed, scale=scale),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Np, D), qkvt.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Np * Np * D,
-            bytes_accessed=4 * B * H * Np * D * qkvt.dtype.itemsize,
-            transcendentals=B * H * Np * Np,
-        ),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(*args)
-
-
-def _pallas_bwd_packed(qkvt, bias, do):
-    _, B, H, Np, D = qkvt.shape
-    scale = D ** -0.5
-    grid = (B, H)
-    qkv_spec = pl.BlockSpec((3, 1, 1, Np, D), lambda b, h: (0, b, h, 0, 0),
-                            memory_space=pltpu.VMEM)
-    bhnd = pl.BlockSpec((1, 1, Np, D), lambda b, h: (b, h, 0, 0),
-                        memory_space=pltpu.VMEM)
-    in_specs = [qkv_spec]
-    args = [qkvt]
-    if bias is not None:
-        in_specs.append(pl.BlockSpec((1, 1, Np), lambda b, h: (b, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(bias)
-    in_specs.append(bhnd)
-    args.append(do)
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel_packed, scale=scale),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((3, B, H, Np, D), qkvt.dtype),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(*args)
-
-
-@jax.custom_vjp
-def _pallas_attention_packed(qkvt, bias):
-    return _pallas_fwd_packed(qkvt, bias)
-
-
-def _pallas_attention_packed_fwd(qkvt, bias):
-    return _pallas_fwd_packed(qkvt, bias), (qkvt, bias)
-
-
-def _pallas_attention_packed_bwd(residuals, do):
-    qkvt, bias = residuals
-    return _pallas_bwd_packed(qkvt, bias, do), None
-
-
-_pallas_attention_packed.defvjp(_pallas_attention_packed_fwd,
-                                _pallas_attention_packed_bwd)
-
-
-def pallas_attention_qkv(qkv: jnp.ndarray,
-                         key_valid: Optional[jnp.ndarray] = None
-                         ) -> jnp.ndarray:
-    """Fused TPU attention on the PACKED qkv projection [B, N, 3, H, D].
-
-    The per-call layout work collapses to ONE fused transpose+pad of the
-    packed tensor (and its single inverse in the backward) — profiling showed
-    the separate q/k/v path spending more device time in pad/copy/slice
-    fusions around the kernels than inside them (BENCH_NOTES.md round 2).
-    Returns [B, N, H, D]."""
-    B, N, _, H, D = qkv.shape
-    Np = _round_up(N, _LANE)
-    qkvt = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, H, N, D]
-    if Np != N:
-        qkvt = jnp.pad(qkvt, ((0, 0), (0, 0), (0, 0), (0, Np - N), (0, 0)))
-    if key_valid is None and Np == N:
-        bias = None
-    else:
-        bias = _bias_from_valid(key_valid, B, N, Np)
-    out = _pallas_attention_packed(qkvt, bias)
-    return out[:, :, :N, :].transpose(0, 2, 1, 3)
-
-
-def attention_qkv(qkv: jnp.ndarray,
-                  key_valid: Optional[jnp.ndarray] = None,
-                  impl: str = "auto") -> jnp.ndarray:
-    """Attention on the packed qkv projection [B, N, 3, H, D] -> [B, N, H, D].
-    Same dispatch rules as ``attention``; the pallas path avoids per-tensor
-    layout ops (see pallas_attention_qkv)."""
-    if impl == "auto":
-        if _HAS_PLTPU and jax.default_backend() == "tpu":
-            impl = "xla" if qkv.shape[1] <= _XLA_SMALL_N else "pallas"
-        else:
-            impl = "xla"
-    if impl == "pallas":
-        return pallas_attention_qkv(qkv, key_valid)
-    return xla_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], key_valid)
-
-
 _XLA_SMALL_N = 256  # measured crossover on v5e, see docstring
 
 
@@ -493,3 +352,241 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if impl == "pallas":
         return pallas_attention(q, k, v, key_valid, block_q=block_q)
     return xla_attention(q, k, v, key_valid)
+
+
+# ---------------------------------------------------------------------------
+# Token-major (layout-native) fused attention: the kernel reads the qkv
+# projection's natural [B, N, 3C] output and writes token-major [B, N, C]
+# ---------------------------------------------------------------------------
+#
+# Profiling the full train step (BENCH_NOTES.md round 2) showed ~17 ms/step
+# of pure layout copies — the [B,N,H,D] <-> [B,H,N,D] transposes around every
+# attention call. This kernel eliminates them: each grid program (b, j) reads
+# the j-th 128-lane column slab of q, k and v as three views of the SAME
+# [B, N, 3C] array (three in_specs with column-offset index maps), covering
+# hp = 128/D heads. Per-head scores come from LANE-MASKED full-width dots:
+#
+#     s_i = (q * mask_i) @ k^T     (contract all 128 lanes)
+#
+# which is exact (masked lanes contribute zero) and costs the same MXU time
+# as a D-deep dot — the MXU pads contractions to its 128-deep systolic array
+# anyway, so for D=32/64 the masked full-width form is free. Outputs land
+# directly in [B, N, C]; the backward writes [3, B, N, C] (one transpose to
+# the [B, N, 3C] cotangent, replacing the forward's three + backward's four
+# layout ops of the head-major path).
+
+def _lane_masks(D: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    return [lane // D == i for i in range(_LANE // D)]
+
+
+def _fwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int):
+    bias_ref, o_ref = refs if len(refs) == 2 else (None, refs[0])
+    qs = qs_ref[0]
+    ks = ks_ref[0]
+    vs = vs_ref[0]
+    bias_row = None if bias_ref is None else bias_ref[0]
+    acc = None
+    for m in _lane_masks(D):
+        qi = jnp.where(m, qs, jnp.zeros_like(qs))
+        s = jax.lax.dot_general(
+            qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if bias_row is not None:
+            s = s + bias_row
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - mx)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        vi = jnp.where(m, vs, jnp.zeros_like(vs))
+        oi = jnp.dot(e.astype(vs.dtype), vi,
+                     preferred_element_type=jnp.float32)
+        oi = oi * (1.0 / denom)
+        acc = oi if acc is None else acc + oi
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _bwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int):
+    if len(refs) == 3:
+        bias_ref, do_ref, dqkv_ref = refs
+    else:
+        bias_ref = None
+        do_ref, dqkv_ref = refs
+    qs = qs_ref[0]
+    ks = ks_ref[0]
+    vs = vs_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    bias_row = None if bias_ref is None else bias_ref[0]
+    dq_acc = dk_acc = dv_acc = None
+    for m in _lane_masks(D):
+        qi = jnp.where(m, qs, jnp.zeros_like(qs))
+        s = jax.lax.dot_general(
+            qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if bias_row is not None:
+            s = s + bias_row
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - mx)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        doi = jnp.where(m, do, jnp.zeros_like(do))
+        dor = (r * doi).astype(vs.dtype)
+        eb = e.astype(vs.dtype)
+        dvi = jax.lax.dot_general(  # e^T @ (r do_i): contract rows
+            eb, dor, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(  # do_i @ v^T: contract lanes (half-i only)
+            doi.astype(vs.dtype), vs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        c = r * jnp.sum(dp * e, axis=-1, keepdims=True)
+        es = (e * (dp - c)).astype(qs.dtype)  # ds = r * es
+        ki = jnp.where(m, ks, jnp.zeros_like(ks))
+        dqi = (jnp.dot(es, ki, preferred_element_type=jnp.float32)
+               * (scale * r))
+        qir = (r * qi.astype(jnp.float32)).astype(qs.dtype)
+        dki = jax.lax.dot_general(  # es^T @ (r q_i): contract rows
+            es, qir, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_acc = dqi if dq_acc is None else dq_acc + dqi
+        dk_acc = dki if dk_acc is None else dk_acc + dki
+        dv_acc = dvi if dv_acc is None else dv_acc + dvi
+    dqkv_ref[0, 0] = dq_acc.astype(dqkv_ref.dtype)
+    dqkv_ref[1, 0] = dk_acc.astype(dqkv_ref.dtype)
+    dqkv_ref[2, 0] = dv_acc.astype(dqkv_ref.dtype)
+
+
+def _tm_specs(B, Np, C, with_bias):
+    lanes = C // _LANE
+    qs = pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
+                      memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, lanes + j),
+                      memory_space=pltpu.VMEM)
+    vs = pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, 2 * lanes + j),
+                      memory_space=pltpu.VMEM)
+    specs = [qs, ks, vs]
+    if with_bias:
+        specs.append(pl.BlockSpec((1, 1, Np), lambda b, j: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    return specs
+
+
+def _pallas_fwd_tm(xqkv, bias, *, num_heads: int):
+    B, Np, C3 = xqkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    scale = D ** -0.5
+    grid = (B, C // _LANE)
+    in_specs = _tm_specs(B, Np, C, bias is not None)
+    args = [xqkv, xqkv, xqkv] + ([bias] if bias is not None else [])
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_tm, scale=scale, D=D),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), xqkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Np * Np * C,
+            bytes_accessed=4 * B * Np * C * xqkv.dtype.itemsize,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _pallas_bwd_tm(xqkv, bias, do, *, num_heads: int):
+    B, Np, C3 = xqkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    scale = D ** -0.5
+    grid = (B, C // _LANE)
+    in_specs = _tm_specs(B, Np, C, bias is not None)
+    in_specs.append(pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
+                                 memory_space=pltpu.VMEM))
+    args = [xqkv, xqkv, xqkv] + ([bias] if bias is not None else []) + [do]
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_tm, scale=scale, D=D),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, 1, Np, _LANE), lambda b, j: (0, b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, B, Np, C), xqkv.dtype),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pallas_attention_tm(xqkv, bias, num_heads):
+    return _pallas_fwd_tm(xqkv, bias, num_heads=num_heads)
+
+
+def _pallas_attention_tm_fwd(xqkv, bias, num_heads):
+    return _pallas_fwd_tm(xqkv, bias, num_heads=num_heads), (xqkv, bias)
+
+
+def _pallas_attention_tm_bwd(num_heads, residuals, do):
+    xqkv, bias = residuals
+    dqkv3 = _pallas_bwd_tm(xqkv, bias, do, num_heads=num_heads)
+    # [3, B, Np, C] -> the [B, Np, 3C] cotangent: the ONE layout op of the
+    # whole backward path
+    B, Np = xqkv.shape[0], xqkv.shape[1]
+    dqkv = dqkv3.transpose(1, 2, 0, 3).reshape(B, Np, -1)
+    return dqkv, None
+
+
+_pallas_attention_tm.defvjp(_pallas_attention_tm_fwd, _pallas_attention_tm_bwd)
+
+
+def _sublane(dtype) -> int:
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
+def pallas_attention_qkv(xqkv: jnp.ndarray, num_heads: int,
+                         key_valid: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """Layout-native fused attention on the raw qkv projection [B, N, 3C]
+    (channel order (3, H, D), i.e. ``Dense(3C)`` output). Returns [B, N, C].
+
+    Requires C % 128 == 0 and head_dim dividing 128 (ViT-B: D=64; the MAE
+    decoder: D=32). Rows are padded to the dtype's sublane tile (16 for bf16
+    — e.g. 410 -> 416, not 512) with padding keys masked via the bias."""
+    B, N, C3 = xqkv.shape
+    C = C3 // 3
+    assert C % _LANE == 0 and _LANE % (C // num_heads) == 0, (C, num_heads)
+    Np = _round_up(N, _sublane(xqkv.dtype))
+    if Np != N:
+        xqkv = jnp.pad(xqkv, ((0, 0), (0, Np - N), (0, 0)))
+    if key_valid is None and Np == N:
+        bias = None
+    else:
+        bias = _bias_from_valid(key_valid, B, N, Np)
+    out = _pallas_attention_tm(xqkv, bias, num_heads)
+    return out[:, :N]
+
+
+def attention_qkv(xqkv: jnp.ndarray, num_heads: int,
+                  key_valid: Optional[jnp.ndarray] = None,
+                  impl: str = "auto") -> jnp.ndarray:
+    """Attention on the packed qkv projection [B, N, 3C] -> [B, N, C].
+    Same size-based dispatch as ``attention``; the pallas path is the
+    token-major kernel (no transposes — see pallas_attention_qkv)."""
+    B, N, C3 = xqkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    tm_ok = C % _LANE == 0 and _LANE % D == 0
+    if impl == "auto":
+        if _HAS_PLTPU and jax.default_backend() == "tpu" and tm_ok:
+            impl = "xla" if N <= _XLA_SMALL_N else "pallas"
+        else:
+            impl = "xla"
+    if impl == "pallas" and tm_ok:
+        return pallas_attention_qkv(xqkv, num_heads, key_valid)
+    qkv = xqkv.reshape(B, N, 3, num_heads, D)
+    if impl == "pallas":
+        out = pallas_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                               key_valid)
+    else:
+        out = xla_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                            key_valid)
+    return out.reshape(B, N, C)

@@ -79,32 +79,42 @@ def test_bf16_forward_close():
     assert jnp.max(jnp.abs(out_p - out_x)) < 0.05
 
 
-def test_packed_qkv_matches_separate():
-    """attention_qkv (packed q/k/v, single-operand kernel) must match the
-    separate-tensor path in forward and gradients, masked and unmasked,
-    padded (N=130) and aligned (N=128)."""
+def test_token_major_qkv_matches_separate():
+    """attention_qkv (token-major layout-native kernel: lane-masked
+    full-width dots over the raw [B, N, 3C] projection) must match the
+    head-major path in forward and gradients — unmasked, masked, and
+    sublane-padded rows (N=130 -> 144 for f32? 130 -> pad by sublane), and
+    the MAE-decoder head shape D=32 (4 sub-heads per lane slab)."""
     from avsiam_tpu.ops.attention import attention_qkv
 
-    for N, masked in ((128, False), (130, False), (130, True)):
-        rng = jax.random.PRNGKey(N)
-        qkv = jax.random.normal(rng, (2, N, 3, 3, 64))
+    for N, H, D, masked in ((128, 2, 64, False), (130, 2, 64, False),
+                            (130, 2, 64, True), (128, 4, 32, False),
+                            (120, 4, 32, True)):
+        rng = jax.random.PRNGKey(N + H)
+        C = H * D
+        xqkv = jax.random.normal(rng, (2, N, 3 * C))
+        qkv5 = xqkv.reshape(2, N, 3, H, D)
         valid = (jax.random.uniform(rng, (2, N)) > 0.3) if masked else None
 
-        def loss_packed(qkv):
-            return jnp.sum(attention_qkv(qkv, key_valid=valid,
+        def loss_packed(xqkv):
+            return jnp.sum(attention_qkv(xqkv, H, key_valid=valid,
                                          impl="pallas") ** 2)
 
-        def loss_sep(qkv):
-            return jnp.sum(pallas_attention(qkv[:, :, 0], qkv[:, :, 1],
-                                            qkv[:, :, 2], key_valid=valid) ** 2)
+        def loss_sep(xqkv):
+            q5 = xqkv.reshape(2, N, 3, H, D)
+            return jnp.sum(pallas_attention(q5[:, :, 0], q5[:, :, 1],
+                                            q5[:, :, 2],
+                                            key_valid=valid) ** 2)
 
-        out_p = attention_qkv(qkv, key_valid=valid, impl="pallas")
-        out_s = pallas_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+        out_p = attention_qkv(xqkv, H, key_valid=valid, impl="pallas")
+        out_s = pallas_attention(qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2],
                                  key_valid=valid)
-        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
-                                   atol=1e-5, rtol=1e-5)
-        gp = jax.grad(loss_packed)(qkv)
-        gs = jax.grad(loss_sep)(qkv)
+        np.testing.assert_allclose(np.asarray(out_p),
+                                   np.asarray(out_s.reshape(2, N, C)),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"N={N} D={D} masked={masked}")
+        gp = jax.grad(loss_packed)(xqkv)
+        gs = jax.grad(loss_sep)(xqkv)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
                                    atol=1e-4, rtol=1e-4,
-                                   err_msg=f"N={N} masked={masked}")
+                                   err_msg=f"N={N} D={D} masked={masked}")
