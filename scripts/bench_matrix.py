@@ -25,8 +25,10 @@ def main():
     gelu = sys.argv[6] if len(sys.argv) > 6 else "erf"
     if gelu == "gelu_tanh":  # legacy spelling
         gelu = "tanh"
+    remat = len(sys.argv) > 7 and sys.argv[7] == "remat"
     mcfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl=attn,
                         mmixed_impl=mmixed, mlp_impl=mlp,
+                        remat_blocks=remat,
                         vit=replace(ViTConfig(), gelu=gelu))
     cfg = PretrainConfig(model=mcfg, opt=OptimizerConfig(), batch_size=B)
     model = CAVMAEPretrain(mcfg)
@@ -46,7 +48,7 @@ def main():
     float(jax.device_get(m["loss"]))
     dt = (time.perf_counter() - t0) / iters
     print(f"B={B:3d} attn={attn:6s} mmixed={mmixed:6s} mlp={mlp:5s} "
-          f"gelu={gelu:4s}: "
+          f"gelu={gelu:4s} remat={int(remat)}: "
           f"{B / dt:7.1f} clips/s  {dt * 1000:7.1f} ms/step  "
           f"(compile+init {compile_t:.0f}s)")
 
