@@ -19,6 +19,11 @@ from avsiam_tpu.train.pretrain import init_state, make_pretrain_step
 def main():
     B = int(sys.argv[1])
     attn = sys.argv[2]
+    if attn.startswith("auto") and attn != "auto":
+        # e.g. 'auto128': move the pallas/XLA crossover for this run
+        import avsiam_tpu.ops.attention as _att_mod
+        _att_mod._XLA_SMALL_N = int(attn[4:])
+        attn = "auto"
     mmixed = sys.argv[3]
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     mlp = sys.argv[5] if len(sys.argv) > 5 else "dense"
