@@ -16,6 +16,13 @@ outputs are bit-identical to the exact-erf path except for a sub-ulp fringe
   Phi(x) = 0.5 + x * r(x^2), Clenshaw-evaluated (numerically stable in f32,
   unlike a power-basis polynomial which loses 3 digits to cancellation);
   pure multiply-add — NO division or transcendental; max |Phi err| 1.6e-7.
+* ``tanh5`` — erf(z) ~= tanh(z * q(z^2)), 5-term q: max |erf err| 3.0e-6,
+  one tanh + 4 FMA; 99.63% bit-identical to 'erf' over the bf16 grid.
+  MEASURED no faster than 'erf' on v5e despite the smaller formula: the
+  bf16->f32 converts and the f32 tanh dominate, and the exact path pays the
+  same converts inside XLA's erfc expansion. Only the bf16-NATIVE tanh-GELU
+  ('tanh') escapes that cost — and evaluating tanh5 in bf16 would degrade
+  it to tanh-class accuracy. Parity GELU is convert-bound on this VPU.
 
 Everything here is jnp-only (no lax.erf except impl='erf'), so 'ans', 'cheb'
 and 'tanh' also lower inside Pallas TPU kernels (the erf HLO has no Mosaic
@@ -29,7 +36,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-GELU_IMPLS = ("erf", "tanh", "ans", "cheb")
+GELU_IMPLS = ("erf", "tanh", "ans", "cheb", "tanh5")
 
 _SQRT_2 = math.sqrt(2.0)
 _INV_SQRT_2 = 1.0 / math.sqrt(2.0)
@@ -130,6 +137,44 @@ def erfc_cheb(w):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# tanh-composite erf: erf(z) ~= tanh(z * q(z^2)) with a 5-term q fitted by
+# Lawson-reweighted least squares on [0, 4] (max |erf err| 3.0e-6, f32).
+# The tanh composition makes the tail DECAY like the true erfc (unlike a
+# bare polynomial) and q is monotone-increasing on the range. 99.63%
+# bit-identical to 'erf' over the full bf16 grid (244 mismatches, all
+# |gelu| <= 0.073, max delta 4.9e-4). Speed on v5e equals 'erf', NOT 'tanh'
+# (see module docstring) — kept as the most accurate Pallas-lowerable erf
+# and as the measured answer to "can a cheaper formula beat XLA's erfc".
+# ---------------------------------------------------------------------------
+
+_T5_ZC = 4.0  # clamp: erf(4) = 1 - 1.5e-8; p(4) = 12.24 (tanh saturated)
+_T5_COEF = (
+    1.1283580408023280e+00,
+    1.0293362111282685e-01,
+    -4.9766147444393120e-04,
+    -4.1481581200152707e-04,
+    3.2207836663742104e-05,
+)
+
+
+def erf_tanh5(z):
+    """erf via the tanh-composite fit (f32 math)."""
+    zc = jnp.clip(z, -_T5_ZC, _T5_ZC)
+    u = zc * zc
+    q = _T5_COEF[4]
+    for c in _T5_COEF[3::-1]:
+        q = q * u + c
+    return jnp.tanh(zc * q)
+
+
+def erfc_tanh5(w):
+    """erfc(w) = 1 + erf(-w); the tanh value saturates to -1 in f32 past the
+    clamp, so the deep tail floors at ~3.6e-11 instead of decaying (absolute
+    error <= 1.5e-8 there)."""
+    return 1.0 + erf_tanh5(-w)
+
+
 def gelu_f32(x, impl: str):
     """GELU of an f32 array. impl='erf' is the XLA exact lowering (NOT
     Pallas-lowerable); 'ans'/'cheb'/'tanh' are primitive-only."""
@@ -142,6 +187,8 @@ def gelu_f32(x, impl: str):
         return 0.5 * x * (1.0 + erf_ans(x * _INV_SQRT_2))
     if impl == "cheb":
         return x * phi_cheb(x)
+    if impl == "tanh5":
+        return 0.5 * x * (1.0 + erf_tanh5(x * _INV_SQRT_2))
     raise ValueError(f"unknown gelu impl: {impl}")
 
 
@@ -152,6 +199,23 @@ def gelu_grad_f32(x, impl: str):
         t = jnp.tanh(inner)
         dinner = _TANH_C * (1.0 + 3 * 0.044715 * x * x)
         return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner
+    if impl == "tanh5":
+        # derivative of the approximation itself (keeps the fused-MLP
+        # kernel's VJP consistent with autodiff of its forward, and avoids
+        # reintroducing exp): with t = tanh(p(z)), p = z*q(z^2), z = x/sqrt2:
+        #   gelu' = 0.5*(1+t) + 0.5 x (1 - t^2) p'(z) / sqrt(2)
+        #   p'(z) = q(u) + 2u q'(u),  u = z^2
+        z = jnp.clip(x * _INV_SQRT_2, -_T5_ZC, _T5_ZC)
+        u = z * z
+        q = _T5_COEF[4]
+        for c in _T5_COEF[3::-1]:
+            q = q * u + c
+        qp = 4.0 * _T5_COEF[4]
+        for k in (3, 2, 1):
+            qp = qp * u + k * _T5_COEF[k]
+        t = jnp.tanh(z * q)
+        pprime = q + 2.0 * u * qp
+        return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * pprime * _INV_SQRT_2
     if impl == "cheb":
         cdf = phi_cheb(x)
     elif impl == "ans":
@@ -179,9 +243,14 @@ def gelu(x: jnp.ndarray, impl: str = "erf") -> jnp.ndarray:
         return jax.nn.gelu(x, approximate=False)
     if impl == "tanh":
         return jax.nn.gelu(x, approximate=True)
-    if impl not in ("ans", "cheb"):
+    if impl not in ("ans", "cheb", "tanh5"):
         raise ValueError(f"unknown gelu impl: {impl}")
     sqrt_half = jnp.asarray(0.7071067811865476, x.dtype)
     w = (-x * sqrt_half).astype(jnp.float32)
-    ec = erfc_ans(w) if impl == "ans" else erfc_cheb(w)
+    if impl == "ans":
+        ec = erfc_ans(w)
+    elif impl == "cheb":
+        ec = erfc_cheb(w)
+    else:
+        ec = erfc_tanh5(w)
     return (0.5 * x * ec.astype(x.dtype)).astype(x.dtype)

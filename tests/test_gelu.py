@@ -25,10 +25,12 @@ def _bf16_grid():
     return jnp.asarray(f32[np.isfinite(f32)]).astype(jnp.bfloat16)
 
 
-@pytest.mark.parametrize("impl", ["ans", "cheb"])
-def test_bf16_grid_bit_parity(impl):
+@pytest.mark.parametrize("impl,slack", [("ans", 5e-6), ("cheb", 5e-6),
+                                        ("tanh5", 5e-5)])
+def test_bf16_grid_bit_parity(impl, slack):
     """Every finite bf16 input: >=99.5% bit-identical to the exact-erf path;
-    all disagreements within ~1 bf16 ulp (0.8% relative) and small values."""
+    all disagreements within ~1 bf16 ulp (0.8-1% relative) plus a small
+    absolute slack confined to tail values (|gelu| <= 0.1)."""
     x = _bf16_grid()
     base = np.asarray(jax.jit(lambda v: gelu(v, "erf"))(x))
     out = np.asarray(jax.jit(lambda v: gelu(v, impl))(x))
@@ -41,23 +43,24 @@ def test_bf16_grid_bit_parity(impl):
     if mism.any():
         d = np.abs(basef[mism] - outf[mism])
         # one bf16 ulp is 2^-8..2^-9 relative; tail values are tiny absolutes
-        assert np.all(d <= 0.008 * np.abs(basef[mism]) + 5e-6), d.max()
+        assert np.all(d <= 0.01 * np.abs(basef[mism]) + slack), d.max()
         assert np.abs(basef[mism]).max() <= 0.1
 
 
-@pytest.mark.parametrize("impl", ["ans", "cheb"])
-def test_f32_accuracy_vs_float64(impl):
-    """f32 evaluation within ~1e-6 * max(1, |x|) of the float64 ground truth
-    (the approximations' CDF error is ~1.5e-7)."""
+@pytest.mark.parametrize("impl,eps", [("ans", 1.5e-6), ("cheb", 1.5e-6),
+                                      ("tanh5", 4e-6)])
+def test_f32_accuracy_vs_float64(impl, eps):
+    """f32 evaluation within eps * max(1, |x|) of the float64 ground truth
+    (CDF error ~1.5e-7 for ans/cheb, ~3e-6 for the tanh-composite)."""
     xs = np.linspace(-9.0, 9.0, 200001)
     truth = np.array([0.5 * v * math.erfc(-v / math.sqrt(2.0)) for v in xs])
     got = np.asarray(jax.jit(lambda v: gelu(v, impl))(jnp.asarray(xs, jnp.float32)),
                      np.float64)
-    tol = 1.5e-6 * np.maximum(1.0, np.abs(xs))
+    tol = eps * np.maximum(1.0, np.abs(xs))
     assert np.all(np.abs(got - truth) <= tol), np.max(np.abs(got - truth) / tol)
 
 
-@pytest.mark.parametrize("impl", ["ans", "cheb", "tanh"])
+@pytest.mark.parametrize("impl", ["ans", "cheb", "tanh", "tanh5"])
 def test_grad_formula_matches_autodiff(impl):
     """gelu_grad_f32 (used explicitly by the Pallas MLP kernel) must track
     the gradient of the function it claims to differentiate: for 'tanh' that
@@ -66,7 +69,7 @@ def test_grad_formula_matches_autodiff(impl):
     tighter than autodiff-through-the-approximation — the Chebyshev
     polynomial's derivative carries ~deg^2 * eps ~ 5e-5 error)."""
     x = jnp.asarray(np.linspace(-6.0, 6.0, 4001), jnp.float32)
-    ref_impl = "tanh" if impl == "tanh" else "erf"
+    ref_impl = impl if impl in ("tanh", "tanh5") else "erf"
     auto = jax.vmap(jax.grad(lambda v: gelu_f32(v, ref_impl)))(x)
     manual = gelu_grad_f32(x, impl)
     np.testing.assert_allclose(np.asarray(manual), np.asarray(auto),
@@ -77,7 +80,7 @@ def test_grad_close_to_exact():
     """Autodiff through the fast paths tracks the exact-erf gradient."""
     x = jnp.asarray(np.linspace(-5.0, 5.0, 2001), jnp.float32)
     g_ref = jax.vmap(jax.grad(lambda v: gelu(v, "erf")))(x)
-    for impl in ("ans", "cheb"):
+    for impl, atol in (("ans", 5e-6), ("cheb", 5e-6), ("tanh5", 2e-5)):
         g = jax.vmap(jax.grad(lambda v: gelu(v, impl)))(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
-                                   atol=5e-6, rtol=1e-4, err_msg=impl)
+                                   atol=atol, rtol=1e-4, err_msg=impl)
