@@ -1,23 +1,32 @@
-"""Multi-head attention ops: fused Pallas TPU kernel + XLA fallback.
+"""Multi-head attention ops: fused Pallas TPU kernels + XLA fallback.
 
 The reference uses CUDA fused scaled-dot-product attention when available
 (src/models/cav_mae_base.py:64-68, torch F.scaled_dot_product_attention) —
 this module is its TPU-native equivalent.
 
-Design notes (TPU-first):
+Design notes (TPU-first, profile-driven on v5e — BENCH_NOTES.md round 2):
 
-* AVSiam sequences are short — 196 (video), 512 (audio), up to 708 (fusion)
-  tokens. The whole K/V for one (batch, head) fits comfortably in VMEM, so the
-  right kernel is a *fused* attention (one pass, full-row softmax) rather than
-  a streaming flash kernel with running max/sum: zero recomputation and no
-  accumulator traffic. Q is tiled at 128 rows to line up with the MXU.
-* Softmax statistics are computed in float32 regardless of input dtype.
-* A custom VJP provides a fused backward kernel (recompute scores, one pass).
-* Key-validity masking (used by the padded multi-ratio contrastive encoder,
-  see ops/masking.py) enters as an additive float bias on the scores.
-
-All shapes are [B, N, H, D] at the public API (token-major, matching how the
-model carries activations); kernels operate on [B, H, N, D].
+* AVSiam sequences are short — 196 (video), 512 (audio), up to 768 (fusion /
+  MAE decoder) tokens. The whole K/V for one (batch, head) fits in VMEM, so
+  the kernels are *fused* attention (one pass, full-row softmax) rather than
+  streaming flash kernels: zero recomputation, no accumulator traffic.
+* The primary kernel is TOKEN-MAJOR (``attention_qkv``): it reads the qkv
+  projection's natural [B, N, 3C] GEMM output via three column-offset views
+  of the same array and writes token-major [B, N, C] — zero layout copies.
+  Per-head scores come from lane-masked full-width dots, which cost the
+  same MXU time as D-deep dots (the 128-deep systolic array pads K < 128).
+* A head-major kernel pair ([B, N, H, D] API, ``pallas_attention``) remains
+  for generality and as the cross-check oracle.
+* Softmax statistics are f32 regardless of input dtype; matmul operands stay
+  in the input dtype (bf16 = 4x the f32 MXU rate) with f32 accumulation;
+  normalization is deferred past the PV matmul (row reciprocals, no N^2
+  division); the backward folds the 1/denom row factors into N*D scalings.
+* Key-validity masking (padded mmixed encoder, decoder row padding) enters
+  as an additive float bias on the scores; unmasked unpadded calls skip the
+  bias entirely at compile time.
+* 'auto' dispatch is size-based: XLA for N <= 256 (its fused softmax beats
+  the Pallas kernels ~2.3x at the MAE-encoder shapes, where the materialized
+  [B,H,N,N] f32 scores are small), Pallas above (1.8x faster at 512-768).
 """
 
 from __future__ import annotations
@@ -195,23 +204,14 @@ def _params():
 
 def _heads_per_program(H: int, Np: int, D: int, itemsize: int,
                        bwd: bool = False) -> int:
-    """Pick how many heads one grid program handles.
-
-    AVSiam's attention calls are many-small-program shaped (N <= 768, head
-    dim 32/64, grids of B*H = 384-512 programs): per-program dispatch
-    overhead and poor pipelining dominate over the tiny per-head matmuls, so
-    the kernel packs as many heads per program as the VMEM budget allows
-    (the score-matrix temporaries of the statically-unrolled head loop are
-    reused across iterations by Mosaic; only the [1, hpp, Np, D] operand
-    blocks scale with hpp). Measured on v5e (scripts/dissect.py sweep): the
-    MAE-encoder shape (Np=128) drops ~4x, decoder (Np=768, D=32) ~1.6x."""
-    if _HPP_OVERRIDE is not None:
-        hpp = int(min(_HPP_OVERRIDE, H))
-    else:
-        temps = (4 if bwd else 2) * Np * Np * 4
-        per_head = (7 if bwd else 4) * Np * D * itemsize
-        budget = 64 * 1024 * 1024 - temps
-        hpp = int(min(H, max(1, budget // max(per_head, 1))))
+    """How many heads one grid program handles. Default 1: packing more
+    heads per program measured SLOWER at every AVSiam shape on v5e
+    (Np=768 D=64: 5.8 -> 6.8 ms; Np=768 D=32: 6.8 -> 7.4; Np=128: 3.2 ->
+    5.6) — the sequential grid pipelines DMA against compute across
+    programs, while a statically-unrolled in-program head loop serializes.
+    ``_HPP_OVERRIDE`` remains as the experiment knob."""
+    del Np, D, itemsize, bwd
+    hpp = 1 if _HPP_OVERRIDE is None else int(min(_HPP_OVERRIDE, H))
     while H % hpp != 0:  # grid needs an even split
         hpp -= 1
     return max(hpp, 1)
