@@ -62,6 +62,16 @@ def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
         help="mesh 'data' axis size; -1 = n_devices / mesh_model")
     arg("--mesh_model", type=int, default=1,
         help="mesh 'model' axis size (tensor parallelism)")
+    # multi-process (multi-host) rendezvous, the torchrun surface of
+    # run_pretrain_base.sh:75; on TPU pods jax.distributed autodetects and
+    # none of these are needed. Env fallbacks: JAX_NUM_PROCESSES,
+    # JAX_PROCESS_ID, JAX_COORDINATOR_ADDRESS.
+    arg("--num_processes", type=int, default=None,
+        help="total process count (WORLD_SIZE equivalent)")
+    arg("--process_id", type=int, default=None,
+        help="this process's id (RANK equivalent)")
+    arg("--coordinator_address", type=str, default=None,
+        help="host:port of process 0 (MASTER_ADDR:PORT equivalent)")
     return p
 
 
@@ -73,7 +83,10 @@ def mesh_from_args(args):
     from avsiam_tpu.parallel.dist import (initialize_multihost,
                                           setup_rank0_printing)
     from avsiam_tpu.parallel.mesh import make_mesh
-    info = initialize_multihost()
+    info = initialize_multihost(
+        coordinator_address=getattr(args, "coordinator_address", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None))
     setup_rank0_printing()
     mesh = make_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     print(f"mesh: data={mesh.shape['data']} model={mesh.shape['model']} "

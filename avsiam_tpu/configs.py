@@ -95,11 +95,12 @@ class CAVMAEConfig:
     mmixed_ratio_step: float = 0.2
     # 'padded' = single batched encode with attention/pool masks (TPU fast
     # path, mathematically equivalent); 'exact' = per-chunk gather of kept
-    # tokens (mirrors the reference's variable-length encode); 'bucketed' =
-    # exact's gathers rounded up to lane multiples with masked tails (same
-    # keep sets, no pad/slice copies around the attention kernels — best
-    # measured on v5e); 'packed' = exact's FLOPs over one token-packed
-    # array (measured slower on v5e, kept as an option).
+    # tokens (mirrors the reference's variable-length encode; best measured
+    # on v5e — 141.8 clips/s vs bucketed 134.4 at B=32, BENCH_NOTES.md);
+    # 'bucketed' = exact's gathers rounded up to lane multiples with masked
+    # tails (same keep sets, fewer pad/slice copies, but the extra GEMM rows
+    # cost more than the pads they save — kept as an option); 'packed' =
+    # exact's FLOPs over one token-packed array (also measured slower).
     mmixed_impl: str = "padded"
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'

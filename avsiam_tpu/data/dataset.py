@@ -38,6 +38,14 @@ from avsiam_tpu.ops import augment as aug
 from avsiam_tpu.ops.fbank import kaldi_fbank, pad_or_crop_frames
 
 
+def _stable_hash(s: str) -> int:
+    """Process-stable string hash (zlib.crc32); Python's built-in hash() is
+    salted per interpreter, so synthetic data keyed on it would differ
+    between the ranks of a multi-process run."""
+    import zlib
+    return zlib.crc32(s.encode("utf-8")) % (2 ** 31)
+
+
 @dataclass
 class AVSample:
     waveform: np.ndarray  # [num_samples] float32, mean-centered, zero-padded
@@ -81,7 +89,9 @@ class AVDataset:
     # ------------------------------------------------------------------
     def _load_waveform(self, rec):
         if self.frame_source == "synthetic":
-            rng = np.random.RandomState(abs(hash(rec.wav)) % (2 ** 31))
+            # stable hash: Python's hash() is salted PER PROCESS, which would
+            # give every rank of a multi-process run different synthetic data
+            rng = np.random.RandomState(_stable_hash(rec.wav))
             w = rng.randn(self.num_samples_audio).astype(np.float32) * 0.05
         elif media.is_video_container(rec.wav):
             # audio read straight out of the video container (the reference
@@ -100,7 +110,7 @@ class AVDataset:
     def _load_frames(self, rec, rng: np.random.RandomState) -> np.ndarray:
         T = self.num_frames
         if self.frame_source == "synthetic":
-            r = np.random.RandomState(abs(hash(rec.wav + "v")) % (2 ** 31))
+            r = np.random.RandomState(_stable_hash(rec.wav + "v"))
             return r.randint(0, 255, (T, self.im_res, self.im_res, 3),
                              dtype=np.uint8)
         if self.frame_source == "video":
@@ -141,11 +151,24 @@ class AVDataset:
                                  self.label_smooth)
         return AVSample(wav, frames, labels, wav_len)
 
-    def batch(self, indices, rng: np.random.RandomState,
-              frames_per_sample: int = 1):
+    @staticmethod
+    def _sample_rng(rng, i: int) -> np.random.RandomState:
+        """Per-sample RandomState. When ``rng`` is an int seed, the stream is
+        derived from (seed, sample index) — ORDER-INDEPENDENT, so any rank
+        sharding / batch order reassembles bit-identical batches (torch's
+        sequential per-worker streams make runs differ across world sizes;
+        keyed derivation is the jax.random.fold_in design applied host-side).
+        A RandomState is passed through unchanged (legacy sequential mode)."""
+        if isinstance(rng, (int, np.integer)):
+            return np.random.RandomState(
+                (int(rng) * 1000003 + int(i) * 97 + 7) % (2 ** 31))
+        return rng
+
+    def batch(self, indices, rng, frames_per_sample: int = 1):
         """Assemble a host batch. frames_per_sample: 1 (random train frame) or
-        num_frames (eval). Returns (wav [B,n], frames u8 [B,T,H,W,3],
-        labels [B,C]).
+        num_frames (eval). ``rng``: an int seed (per-sample derived streams,
+        see _sample_rng) or a RandomState (sequential). Returns (wav [B,n],
+        frames u8 [B,T,H,W,3], labels [B,C]).
 
         Waveforms are zero-padded to a fixed sample count and the true sample
         counts are returned so the device transform can zero fbank rows
@@ -155,13 +178,14 @@ class AVDataset:
         wavs, frames, labels = [], [], []
         lens = []
         for i in indices:
-            s = self.get(int(i), rng)
+            srng = self._sample_rng(rng, int(i))
+            s = self.get(int(i), srng)
             lens.append(s.wav_len)
             if frames_per_sample == 1:
                 # random frame of 10 in train; middle/frame_use in eval
                 # (src/dataloader.py:347-356,468-471)
                 if self.mode == "train":
-                    t = rng.randint(0, self.num_frames)
+                    t = srng.randint(0, self.num_frames)
                 else:
                     t = (self.num_frames // 2 if self.frame_use < 0
                          else self.frame_use)

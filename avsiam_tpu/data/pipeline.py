@@ -17,6 +17,22 @@ import jax
 import numpy as np
 
 
+def _put_batch(x, sharding):
+    """Place one host array onto the mesh.
+
+    Single-process: plain ``device_put`` (H2D overlap with compute).
+    Multi-process: each host holds only ITS rows of the global batch, so the
+    global array must be assembled from process-local shards —
+    ``jax.make_array_from_process_local_data`` (the torchrun-DDP feeding
+    pattern of run_pretrain_base.sh:3-5,75, where every rank loads a disjoint
+    per-rank slice; a plain device_put cannot build a cross-process array).
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(x))
+    return jax.device_put(x, sharding)
+
+
 class Prefetcher:
     """Wrap a host-batch iterator; decode ahead on a thread and device_put."""
 
@@ -32,7 +48,7 @@ class Prefetcher:
                 for item in it:
                     if self._sharding is not None:
                         item = jax.tree_util.tree_map(
-                            lambda x: jax.device_put(x, self._sharding), item)
+                            lambda x: _put_batch(x, self._sharding), item)
                     self._q.put(item)
             except BaseException as e:  # propagate to consumer
                 self._err = e
@@ -57,10 +73,11 @@ class Prefetcher:
 def host_batches(dataset, index_batches, seed: int,
                  frames_per_sample: int = 1) -> Iterator:
     """Generator of host numpy batches from an AVDataset + list of index
-    arrays."""
-    rng = np.random.RandomState(seed)
+    arrays. Passes the int seed through so the dataset derives a per-sample
+    stream from (seed, index) — batches are then independent of rank
+    sharding and assembly order (see AVDataset._sample_rng)."""
     for idx in index_batches:
-        yield dataset.batch(idx, rng, frames_per_sample=frames_per_sample)
+        yield dataset.batch(idx, seed, frames_per_sample=frames_per_sample)
 
 
 def device_loader(dataset, index_batches, transform: Callable,

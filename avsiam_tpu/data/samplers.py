@@ -6,34 +6,74 @@ Parity targets:
   repeating the LAST index, then contiguous per-rank slabs, enabling ordered
   gather + truncate evaluation.
 * ``weighted_indices`` — torch WeightedRandomSampler under
-  DistributedProxySampler (src/yb_sampler.py; weights CSV loaded at
-  run_cavmae_ft_base.py:184-200): sampling WITH replacement proportional to
-  per-sample weights.
+  DistributedProxySampler (src/yb_sampler.py:25-39; weights CSV loaded at
+  run_cavmae_ft_base.py:184-200): one deterministic GLOBAL draw with
+  replacement proportional to per-sample weights, padded by wrap-around, then
+  a per-rank subsample.
 * ``shuffled_epoch_indices`` — torch DistributedSampler semantics: permutation
-  seeded by (seed + epoch), padded by wrap-around to a world-divisible size.
+  seeded by (seed + epoch), padded by wrap-around to a world-divisible size,
+  then a per-rank subsample.
+
+Rank subsampling comes in two flavours:
+
+* ``global_batch=None`` → torch's strided slice ``idx[rank::world]``
+  (DistributedSampler/DistributedProxySampler bit-for-bit behaviour).
+* ``global_batch=B`` → per-rank CONTIGUOUS block of each global batch:
+  global step k covers exactly ``idx[k*B:(k+1)*B]`` with rank r loading rows
+  ``[r*B/world:(r+1)*B/world]`` of it. Same disjoint-coverage guarantee as
+  the strided slice, but the assembled global device batch is bit-identical
+  to the single-process batch (the strided slice would interleave rows,
+  permuting per-position mask RNG draws inside the step). Used by the train
+  loops so losses are reproducible across world sizes.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 
+def _rank_subsample(idx: np.ndarray, world: int, rank: int,
+                    global_batch: Optional[int]) -> np.ndarray:
+    if world == 1:
+        return idx
+    if global_batch is None:
+        # torch DistributedSampler: indices[rank:total:num_replicas]
+        return idx[rank::world]
+    assert global_batch % world == 0, (global_batch, world)
+    lb = global_batch // world
+    nb = len(idx) // global_batch
+    # rank blocks of each global batch; the global-batch tail (dropped by
+    # drop_last batching anyway) is cut so every rank sees the same steps
+    return idx[: nb * global_batch].reshape(nb, world, lb)[:, rank].reshape(-1)
+
+
 def shuffled_epoch_indices(n: int, epoch: int, seed: int = 0,
-                           world: int = 1) -> np.ndarray:
+                           world: int = 1, rank: int = 0,
+                           global_batch: Optional[int] = None) -> np.ndarray:
     rng = np.random.RandomState(seed + epoch)
     idx = rng.permutation(n)
     total = -(-n // world) * world
     if total > n:
         idx = np.concatenate([idx, idx[: total - n]])
-    return idx
+    return _rank_subsample(idx, world, rank, global_batch)
 
 
 def weighted_indices(weights: np.ndarray, num_samples: int,
-                     epoch: int, seed: int = 0) -> np.ndarray:
+                     epoch: int, seed: int = 0, world: int = 1, rank: int = 0,
+                     global_batch: Optional[int] = None) -> np.ndarray:
+    """Global class-balanced draw, identical on every rank (the RNG is seeded
+    only by seed+epoch), then the rank subsample — DistributedProxySampler
+    (yb_sampler.py:25-39) wrapping WeightedRandomSampler."""
     rng = np.random.RandomState(seed + epoch)
     p = np.asarray(weights, dtype=np.float64)
     p = p / p.sum()
-    return rng.choice(len(p), size=num_samples, replace=True, p=p)
+    idx = rng.choice(len(p), size=num_samples, replace=True, p=p)
+    total = -(-num_samples // world) * world
+    if total > num_samples:
+        idx = np.concatenate([idx, idx[: total - num_samples]])
+    return _rank_subsample(idx, world, rank, global_batch)
 
 
 def eval_shard_indices(n: int, world: int = 1, rank: int = 0) -> np.ndarray:

@@ -278,8 +278,10 @@ class CAVMAEPretrain(nn.Module):
         mathematically identical to _mmixed_exact; tested). Result: the
         attention kernels see already-aligned sequences, so the ~10
         pad/slice copies per block that the exact path pays around the
-        Pallas calls vanish. Costs ~20% more encoder GEMM rows; wins on the
-        measured bandwidth-bound v5e (BENCH_NOTES.md round 2)."""
+        Pallas calls vanish. Costs ~20% more encoder GEMM rows, which was
+        measured to cost MORE than the saved pads on v5e (134.4 clips/s vs
+        exact's 141.8 at B=32, BENCH_NOTES.md round 2) — kept as a variant,
+        not the default."""
         c = self.cfg
         f, t = c.vit.audio_grid
         La, Lv = a.shape[1], v.shape[1]

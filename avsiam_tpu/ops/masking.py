@@ -137,8 +137,14 @@ def keep_mask_structured(rng: jax.Array, N: int, f: int, t: int,
 
 
 def masked_mean(x: jnp.ndarray, keep: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
-    """Mean over kept tokens only. keep: bool broadcastable to x[..., axis]."""
+    """Mean over kept tokens only. keep: bool broadcastable to x[..., axis].
+
+    The keep count is summed in float32 regardless of activation dtype:
+    bf16 tree-reduction of counts >256 rounds, which would make the pooled
+    mean deviate slightly from the exact path's static-divisor mean.
+    """
     keep_f = keep.astype(x.dtype)[..., None]
     total = jnp.sum(x * keep_f, axis=axis)
-    count = jnp.maximum(jnp.sum(keep_f, axis=axis), 1.0)
-    return total / count
+    count = jnp.maximum(
+        jnp.sum(keep.astype(jnp.float32)[..., None], axis=axis), 1.0)
+    return (total.astype(jnp.float32) / count).astype(x.dtype)

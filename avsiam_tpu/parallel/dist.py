@@ -30,6 +30,13 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """
     if num_processes is None:
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if coordinator_address is None:
+        # torchrun-style env rendezvous (utils.py:283-290 reads RANK /
+        # WORLD_SIZE / MASTER_ADDR); on TPU pods jax.distributed discovers
+        # the topology itself and none of these are needed.
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -46,14 +53,15 @@ def is_main_process() -> bool:
 
 def setup_rank0_printing(force: bool = False):
     """Rank-0-only printing via a builtins.print wrap (utils.py:206-218).
-    Pass force=True on any rank to keep printing (the reference's
-    ``print(..., force=True)``)."""
-    if is_main_process():
-        return
+
+    The wrap is installed on EVERY rank (as the reference does), so
+    ``print(..., force=True)`` is valid everywhere: the main process prints
+    everything, other ranks print only forced messages."""
     builtin_print = builtins.print
+    main = is_main_process()
 
     def print_rank0(*args, **kwargs):
-        if kwargs.pop("force", False) or force:
+        if kwargs.pop("force", False) or force or main:
             builtin_print(*args, **kwargs)
 
     builtins.print = print_rank0
@@ -73,6 +81,22 @@ def gather_eval_outputs(local_array: np.ndarray, total: int) -> np.ndarray:
     from jax.experimental import multihost_utils
     gathered = multihost_utils.process_allgather(np.asarray(local_array))
     return gathered.reshape((-1,) + gathered.shape[2:])[:total]
+
+
+def average_across_processes(values: dict) -> dict:
+    """Cross-process mean of a dict of scalar metrics (the reference's meter
+    all_reduce helper, utils.py:40-51). Beyond parity this is load-bearing:
+    checkpoint decisions keyed on eval metrics must be IDENTICAL on every
+    process, because orbax saves are collective — rank-divergent values would
+    desynchronize the save barriers."""
+    if jax.process_count() == 1:
+        return dict(values)
+    from jax.experimental import multihost_utils
+    keys = sorted(values)
+    vec = np.array([float(values[k]) for k in keys], np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(vec))
+    mean = gathered.reshape(jax.process_count(), -1).mean(axis=0)
+    return {k: float(mean[i]) for i, k in enumerate(keys)}
 
 
 def barrier(name: str = "barrier"):

@@ -93,22 +93,54 @@ class _MetricWindow:
         return avg, timing
 
 
+def _eval_params(params):
+    """Multi-process eval runs host-locally: each process evaluates its
+    contiguous slab with a LOCAL copy of the params, mirroring the
+    reference's per-rank ``model.eval()`` over SequentialDistributedSampler
+    slabs (traintest_ft_base.py:292-352). DP params are fully replicated on
+    the global mesh, so ``device_get`` is addressable from every process.
+    (TP params sharded across processes would need a gather first — the
+    reference deployment is DP-only, SURVEY.md section 2.5.)"""
+    if jax.process_count() == 1:
+        return params
+    return jax.device_get(params)
+
+
 def _shard_state(state, mesh):
     """Place a train state onto a mesh: params follow the TP param rules
     (replicated when the 'model' axis is trivial — the reference's DP-only
     layout, SURVEY.md section 2.5); optimizer moments and step are
     replicated. GSPMD then derives the gradient psums/all-gathers from these
-    placements alone."""
+    placements alone.
+
+    Multi-process: every process holds the identical full state (same seed
+    init / same restored checkpoint), so each global array is assembled from
+    the full local value via ``make_array_from_process_local_data`` with a
+    replicated sharding — ``device_put`` cannot target non-addressable
+    devices. DP-only across processes (the reference's deployment mode).
+    """
     from avsiam_tpu.parallel.mesh import param_shardings, replicated
     repl = replicated(mesh)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        assert mesh.shape["model"] == 1, (
+            "multi-process runs are DP-only (model axis must be 1): params "
+            "must be replicated so every process can assemble them locally")
+
+    def put(x, sh):
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(jax.device_get(x)))
+        return jax.device_put(x, sh)
+
     placed = {}
     for name, leaf_tree in state._asdict().items():
         if name == "params":
-            placed[name] = jax.device_put(leaf_tree,
-                                          param_shardings(mesh, leaf_tree))
+            placed[name] = jax.tree_util.tree_map(
+                put, leaf_tree, param_shardings(mesh, leaf_tree))
         else:
-            placed[name] = jax.device_put(
-                leaf_tree, jax.tree_util.tree_map(lambda _: repl, leaf_tree))
+            placed[name] = jax.tree_util.tree_map(
+                lambda x: put(x, repl), leaf_tree)
     return type(state)(**placed)
 
 
@@ -116,27 +148,46 @@ def _epoch_loader(ds: AVDataset, cfg_batch: int, epoch: int, seed: int,
                   transform, rng, weights=None, frames_per_sample: int = 1,
                   sharding=None, train: bool = True):
     n = len(ds)
+    pc, pi = jax.process_count(), jax.process_index()
     if train:
+        # Rank-sharded sampling (torch DistributedSampler /
+        # DistributedProxySampler under torchrun, run_pretrain_base.sh:75):
+        # each process loads only ITS rows — the contiguous rank block of
+        # every global batch — and the prefetcher assembles the global array
+        # from the process-local shards (pipeline._put_batch).
+        local_batch = cfg_batch if pc == 1 else cfg_batch // pc
+        assert cfg_batch % pc == 0, (
+            f"global batch {cfg_batch} not divisible by process count {pc}")
         if weights is not None:
-            idx = weighted_indices(weights, n, epoch, seed)
+            idx = weighted_indices(weights, n, epoch, seed, world=pc, rank=pi,
+                                   global_batch=cfg_batch)
         else:
-            idx = shuffled_epoch_indices(n, epoch, seed,
-                                         world=jax.process_count())
+            idx = shuffled_epoch_indices(n, epoch, seed, world=pc, rank=pi,
+                                         global_batch=cfg_batch)
+        return device_loader(ds, batched(idx, local_batch, drop_last=True),
+                             transform, rng, seed=seed + epoch,
+                             frames_per_sample=frames_per_sample,
+                             sharding=sharding, train=True)
     else:
         # each host loads its contiguous padded slab; gathered outputs are
         # concatenated in process order and trimmed (SequentialDistributed-
         # Sampler semantics, parallel/dist.gather_eval_outputs). The slab is
         # further padded to a batch multiple (repeating the last index) so
         # every eval batch has ONE static shape — a ragged tail batch would
-        # force a second XLA compile of the eval step.
-        idx = eval_shard_indices(n, jax.process_count(), jax.process_index())
+        # force a second XLA compile of the eval step. Multi-process eval
+        # runs HOST-LOCALLY (each process evaluates its slab with local
+        # params, exactly the reference's per-rank model.eval), so the
+        # loader must not try to build global arrays: sharding=None.
+        idx = eval_shard_indices(n, pc, pi)
         rem = len(idx) % cfg_batch
         if rem:
             idx = np.concatenate([idx, np.full(cfg_batch - rem, idx[-1])])
-    return device_loader(ds, batched(idx, cfg_batch, drop_last=train),
-                         transform, rng, seed=seed + epoch,
-                         frames_per_sample=frames_per_sample,
-                         sharding=sharding, train=train)
+        if pc > 1:
+            sharding = None
+        return device_loader(ds, batched(idx, cfg_batch, drop_last=False),
+                             transform, rng, seed=seed + epoch,
+                             frames_per_sample=frames_per_sample,
+                             sharding=sharding, train=False)
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +233,11 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
     step_fn = pt.make_pretrain_step(model, cfg)
     eval_fn = pt.make_eval_step(model, cfg)
 
+    from avsiam_tpu.parallel.dist import is_main_process
+    main = is_main_process()  # rank-0-only plain-file writes (reference
+    # gates ckpt/csv saves on rank 0, traintest_cavmae_base.py:223-234);
+    # orbax saves stay collective — every process calls them, orbax's
+    # primary-host handler does the actual write.
     os.makedirs(os.path.join(cfg.exp_dir, "models"), exist_ok=True)
     from avsiam_tpu.utils.logging import MetricsLogger
     mlog = MetricsLogger(cfg.exp_dir)
@@ -259,18 +315,19 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
             probe = linear_probe(state.params, cfg, probe_train_ds,
                                  probe_val_ds, n_class=probe_n_class,
                                  max_steps_per_epoch=max_steps_per_epoch,
-                                 log=log)
+                                 mesh=mesh, log=log)
             row.update({f"probe_{k}": v for k, v in probe.items()})
         save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         result_rows.append(row)
         mlog.log(row, step=global_step)
-        _write_csv(os.path.join(cfg.exp_dir, "result.csv"), result_rows)
-        # progress.pkl parity (traintest_cavmae_base.py:47-51)
-        progress.append([epoch, global_step, best_epoch, best_loss,
-                         time.time() - start_time])
-        with open(os.path.join(cfg.exp_dir, "progress.pkl"), "wb") as f:
-            pickle.dump(progress, f)
+        if main:
+            _write_csv(os.path.join(cfg.exp_dir, "result.csv"), result_rows)
+            # progress.pkl parity (traintest_cavmae_base.py:47-51)
+            progress.append([epoch, global_step, best_epoch, best_loss,
+                             time.time() - start_time])
+            with open(os.path.join(cfg.exp_dir, "progress.pkl"), "wb") as f:
+                pickle.dump(progress, f)
 
     return {"state": state, "best_epoch": best_epoch, "rows": result_rows,
             "model": model}
@@ -291,6 +348,7 @@ def validate_pretrain(eval_fn, params, val_ds: AVDataset, cfg: PretrainConfig,
     loader = _epoch_loader(val_ds, cfg.batch_size, 0, cfg.seed, transform,
                            jax.random.PRNGKey(0), sharding=sharding,
                            train=False)
+    params = _eval_params(params)
     sums, n = {}, 0
     for i, (a, v, _) in enumerate(loader):
         if max_steps and i >= max_steps:
@@ -299,7 +357,12 @@ def validate_pretrain(eval_fn, params, val_ds: AVDataset, cfg: PretrainConfig,
         for k, val in m.items():
             sums[k] = sums.get(k, 0.0) + val
         n += 1
-    return {f"eval_{k}": v / max(n, 1) for k, v in sums.items()}
+    out = {f"eval_{k}": v / max(n, 1) for k, v in sums.items()}
+    # cross-process mean: every rank evaluated a different slab, but the
+    # best-checkpoint decision keyed on eval_loss must be identical on all
+    # ranks (orbax saves are collective)
+    from avsiam_tpu.parallel.dist import average_across_processes
+    return average_across_processes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -342,44 +405,70 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     step_fn = ft.make_finetune_step(model, cfg)
     eval_fn = ft.make_ft_eval_step(model, cfg)
 
+    from avsiam_tpu.parallel.dist import is_main_process
+    main = is_main_process()  # rank-0-only plain-file writes; orbax saves
+    # stay collective (see run_pretrain)
     os.makedirs(os.path.join(cfg.exp_dir, "models"), exist_ok=True)
     from avsiam_tpu.utils.logging import MetricsLogger
     mlog = MetricsLogger(cfg.exp_dir)
     best_metric, best_epoch, non_improving = -np.inf, 0, 0
     rows: List[Dict] = []
     global_step = 0
-    loss_meter = AverageMeter()
+    # FT loop meters the same per-sample total/data/DNN split as pretrain
+    # (traintest_ft_base.py:117-147 mirrors traintest_cavmae_base.py:118-120)
+    meters = {k: AverageMeter() for k in
+              ("loss", "per_sample_time", "per_sample_data_time",
+               "per_sample_dnn_time")}
 
     for epoch in range(start_epoch, cfg.n_epochs + 1):
-        loss_meter.reset()  # per-epoch meter reset (reference parity)
+        for meter in meters.values():  # per-epoch reset (reference parity)
+            meter.reset()
         lr = ft.lr_for_epoch(cfg, epoch)
         loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
                                transform, jax.random.fold_in(rng, epoch),
                                weights=balance_weights, sharding=sharding)
+
+        def flush_window(win) -> Optional[Dict[str, float]]:
+            avg, t = win.flush()
+            if avg is None:
+                return None
+            meters["loss"].update(avg["loss"], t["samples"])
+            meters["per_sample_time"].update(
+                t["elapsed"] / t["samples"], t["samples"])
+            meters["per_sample_data_time"].update(
+                t["data"] / t["samples"], t["samples"])
+            meters["per_sample_dnn_time"].update(
+                (t["elapsed"] - t["data"]) / t["samples"], t["samples"])
+            return avg
+
         window = _MetricWindow()
+        end_time = time.time()
         for i, (a, v, y) in enumerate(loader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
+            data_t = time.time() - end_time
             if v.ndim == 4:
                 v = v[:, None]
             state, metrics = step_fn(state, (a, v, y), rng, jnp.float32(lr))
-            window.push(metrics, a.shape[0], 0.0)
+            window.push(metrics, a.shape[0], data_t)
             if global_step % cfg.n_print_steps == 0:
-                m, t = window.flush()
-                loss_meter.update(m["loss"], t["samples"])
-                log(f"FT epoch [{epoch}][{i}] loss {m['loss']:.4f}")
-                if np.isnan(loss_meter.avg):
+                m = flush_window(window)
+                log(f"FT epoch [{epoch}][{i}] loss {m['loss']:.4f} "
+                    f"t/sample {meters['per_sample_time'].avg * 1000:.1f}ms")
+                if np.isnan(meters["loss"].avg):
                     log("training diverged...")
                     return {"diverged": True, "epoch": epoch}
             global_step += 1
-        m, t = window.flush()  # tail: epoch average covers every step
-        if m is not None:
-            loss_meter.update(m["loss"], t["samples"])
-        if np.isnan(loss_meter.avg):
+            end_time = time.time()
+        flush_window(window)  # tail: epoch meters cover every step
+        if np.isnan(meters["loss"].avg):
             log("training diverged...")
             return {"diverged": True, "epoch": epoch}
 
-        row = {"epoch": epoch, "lr": lr, "train_loss": loss_meter.avg}
+        row = {"epoch": epoch, "lr": lr, "train_loss": meters["loss"].avg,
+               **{k: meters[k].avg for k in
+                  ("per_sample_time", "per_sample_data_time",
+                   "per_sample_dnn_time")}}
         if val_ds is not None:
             stats, val_loss = validate_ft(
                 eval_fn, state.params, val_ds, cfg, sharding=sharding,
@@ -391,9 +480,10 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
             metric = mAP if cfg.metrics == "mAP" else acc
             log(f"FT eval epoch {epoch}: mAP {mAP:.4f} AUC {mAUC:.4f} "
                 f"acc {acc:.4f}")
-            with open(os.path.join(cfg.exp_dir, f"stats_{epoch}.pickle"),
-                      "wb") as f:
-                pickle.dump(stats, f)
+            if main:
+                with open(os.path.join(cfg.exp_dir, f"stats_{epoch}.pickle"),
+                          "wb") as f:
+                    pickle.dump(stats, f)
             if metric > best_metric:
                 best_metric, best_epoch, non_improving = metric, epoch, 0
                 save_params(cfg.exp_dir, "best_audio_model", state.params)
@@ -403,7 +493,8 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         rows.append(row)
         mlog.log(row, step=global_step)
-        _write_csv(os.path.join(cfg.exp_dir, "result.csv"), rows)
+        if main:
+            _write_csv(os.path.join(cfg.exp_dir, "result.csv"), rows)
         if non_improving >= 3:  # traintest_ft_base.py:249-251
             log("early stop")
             break
@@ -426,6 +517,7 @@ def validate_ft(eval_fn, params, val_ds: AVDataset, cfg: FinetuneConfig,
     loader = _epoch_loader(val_ds, cfg.batch_size, 0, cfg.seed, transform,
                            jax.random.PRNGKey(0), frames_per_sample=frames,
                            sharding=sharding, train=False)
+    params = _eval_params(params)
     preds, targets, losses = [], [], []
     loss_fn = ft.loss_fn_for(cfg)
     for i, (a, v, y) in enumerate(loader):
@@ -451,6 +543,10 @@ def validate_ft(eval_fn, params, val_ds: AVDataset, cfg: FinetuneConfig,
     output = gather_eval_outputs(np.concatenate(preds)[:slab], len(val_ds))
     target = gather_eval_outputs(np.concatenate(targets)[:slab], len(val_ds))
     stats = calculate_stats(output, target)
+    # NOTE: val_loss is a per-rank, padding-inclusive batch mean — it matches
+    # the reference's own loose loss accounting (traintest_ft_base.py:327-333)
+    # and is NOT gathered across hosts; only the mAP path dedupes padding.
+    # Do not compare val_loss across world sizes.
     return stats, float(np.mean(losses))
 
 
@@ -462,7 +558,7 @@ def linear_probe(pretrain_params, pre_cfg: PretrainConfig,
                  probe_train_ds: AVDataset, probe_val_ds: AVDataset,
                  n_class: int = 527, epochs: int = 5,
                  max_steps_per_epoch: Optional[int] = None,
-                 log: Callable = print) -> Dict:
+                 mesh=None, log: Callable = print) -> Dict:
     """traintest_cavmae_base.py:266-378: fresh FT model from pretrain params,
     frozen base, Adam(head 5e-3), 'joint_av' training, 3-mode eval."""
     from avsiam_tpu.configs import CAVMAEFTConfig
@@ -482,12 +578,20 @@ def linear_probe(pretrain_params, pre_cfg: PretrainConfig,
     state = ft.init_state(rng, model, ft_cfg, (fb[:2], img[:2, None], y[:2]))
     state = state._replace(params=transfer_pretrain_to_ft(
         jax.device_get(pretrain_params), jax.device_get(state.params)))
+    sharding = None
+    if mesh is not None:
+        # probe over the same mesh as the main loop: multi-process runs
+        # feed rank-sharded global batches, which need sharded state
+        from avsiam_tpu.parallel.mesh import batch_sharding
+        state = _shard_state(state, mesh)
+        sharding = batch_sharding(mesh)
     step_fn = ft.make_finetune_step(model, ft_cfg)
 
     for epoch in range(1, epochs + 1):
         loader = _epoch_loader(probe_train_ds, ft_cfg.batch_size, epoch,
                                ft_cfg.seed, transform,
-                               jax.random.fold_in(rng, epoch))
+                               jax.random.fold_in(rng, epoch),
+                               sharding=sharding)
         for i, (a, v, y) in enumerate(loader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
@@ -497,7 +601,9 @@ def linear_probe(pretrain_params, pre_cfg: PretrainConfig,
                                      jnp.float32(ft_cfg.opt.lr))
 
     results = {}
-    for mode in ("mm_grad", "audioonly", "videoonly"):
+    # eval exactly what the reference's probe evaluates:
+    # traintest_cavmae_base.py:343-354 runs joint_av / audioonly / videoonly
+    for mode in ("joint_av", "audioonly", "videoonly"):
         mode_cfg = replace(ft_cfg, ftmode=mode)
         eval_fn = ft.make_ft_eval_step(model, mode_cfg)
         stats, _ = validate_ft(eval_fn, state.params, probe_val_ds, mode_cfg,

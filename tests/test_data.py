@@ -89,8 +89,14 @@ def test_eval_shard_indices_pad_and_trim():
 
 
 def test_samplers():
-    idx = shuffled_epoch_indices(10, epoch=0, seed=1, world=4)
-    assert len(idx) == 12 and set(idx) == set(range(10))
+    # rank-sharded (torch DistributedSampler): each rank gets total/world
+    # entries; the union of all ranks covers the padded permutation
+    parts = [shuffled_epoch_indices(10, epoch=0, seed=1, world=4, rank=r)
+             for r in range(4)]
+    assert all(len(p) == 3 for p in parts)
+    assert set(np.concatenate(parts)) == set(range(10))
+    idx = shuffled_epoch_indices(10, epoch=0, seed=1)  # world=1: full perm
+    assert len(idx) == 10 and set(idx) == set(range(10))
     assert not np.array_equal(
         shuffled_epoch_indices(10, 0, 1, 1), shuffled_epoch_indices(10, 1, 1, 1))
     w = weighted_indices(np.array([0.0, 0.0, 1.0]), 50, epoch=0)

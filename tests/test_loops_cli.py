@@ -90,7 +90,9 @@ def test_run_finetune_epoch_and_probe(tmp_path, index_json):
     res = linear_probe(pre_params, pre_cfg, _ds(index_json),
                        _ds(index_json, train=False), n_class=3, epochs=1,
                        max_steps_per_epoch=1, log=lambda *a: None)
-    assert "mm_grad_mAP" in res and np.isfinite(res["mm_grad_mAP"])
+    # reference probe evaluates joint_av (traintest_cavmae_base.py:343-354)
+    assert "joint_av_mAP" in res and np.isfinite(res["joint_av_mAP"])
+    assert "audioonly_mAP" in res and "videoonly_mAP" in res
 
 
 def test_cli_pretrain_smoke(tmp_path, index_json):
@@ -247,6 +249,42 @@ def test_meters_cover_every_step(tmp_path, index_json, monkeypatch):
     out = run_pretrain(cfg, _ds(index_json), max_steps_per_epoch=3,
                        log=lambda *a: None)
     np.testing.assert_allclose(out["rows"][0]["loss"], 1.0, atol=1e-6)
+
+
+def test_ft_meters_cover_every_step(tmp_path, index_json, monkeypatch):
+    """FT result.csv epoch averages must cover EVERY step and carry the
+    per-sample total/data/DNN timing columns (traintest_ft_base.py:117-147
+    meters the same split as the pretrain loop)."""
+    import jax.numpy as jnp
+
+    from avsiam_tpu.train import finetune as ftmod
+    from avsiam_tpu.train.loops import run_finetune
+    real = ftmod.make_finetune_step
+
+    def counting_step(model, cfg):
+        fn = real(model, cfg)
+
+        def wrapped(state, batch, rng, lr):
+            state, metrics = fn(state, batch, rng, lr)
+            metrics = dict(metrics)
+            metrics["loss"] = (state.step - 1).astype(jnp.float32)
+            return state, metrics
+
+        return wrapped
+
+    monkeypatch.setattr(ftmod, "make_finetune_step", counting_step)
+    cfg = FinetuneConfig(
+        model=CAVMAEFTConfig(vit=TINY_VIT, label_dim=3, num_eval_frames=1),
+        audio=TINY_AUDIO, opt=OptimizerConfig(lr=1e-4), batch_size=2,
+        n_epochs=1, n_print_steps=1000, exp_dir=str(tmp_path / "ft"))
+    out = run_finetune(cfg, _ds(index_json), max_steps_per_epoch=3,
+                       log=lambda *a: None)
+    row = out["rows"][0]
+    np.testing.assert_allclose(row["train_loss"], 1.0, atol=1e-6)
+    for k in ("per_sample_time", "per_sample_data_time",
+              "per_sample_dnn_time"):
+        assert k in row and row[k] >= 0.0
+    assert row["per_sample_time"] >= row["per_sample_dnn_time"]
 
 
 def test_cli_finetune_smoke(tmp_path, index_json):
