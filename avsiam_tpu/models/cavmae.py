@@ -121,14 +121,19 @@ class MAEDecoder(nn.Module):
         a_ = a_ + (self.pos_embed_a + self.modality_a).astype(a_.dtype)
         v_ = v_ + (self.pos_embed_v + self.modality_v).astype(v_.dtype)
         x = jnp.concatenate([a_, v_], axis=1)
-        # run the blocks at the next lane multiple (708 -> 768): ONE pad here
-        # replaces a pad + slice copy pair around every block's attention
-        # kernel (measured ~0.9 ms each at this shape — the step is
-        # bandwidth-bound, BENCH_NOTES.md round 2). Pad rows are excluded
-        # from attention as keys (masked == dropped, tests/test_attention);
-        # as queries their outputs are sliced away before the pred heads.
+        # run the blocks at the next SUBLANE multiple (708 -> 720 for bf16):
+        # ONE pad here replaces a pad + slice copy pair around every block's
+        # attention kernel (measured ~0.9 ms each at this shape — the step is
+        # bandwidth-bound, BENCH_NOTES.md round 2). Rows are the sublane dim
+        # of the [B, N, C] tile, so 16 (bf16) / 8 (f32) alignment is all the
+        # kernels and XLA tiling need; round 2 padded to 128 (768 rows),
+        # paying 13% more decoder N^2 softmax than necessary. Pad rows are
+        # excluded from attention as keys (masked == dropped,
+        # tests/test_attention); as queries their outputs are sliced away
+        # before the pred heads.
         Ltot = La + Lv
-        Lpad = -(-Ltot // 128) * 128
+        sub = 16 if x.dtype == jnp.bfloat16 else 8
+        Lpad = -(-Ltot // sub) * sub
         key_valid = None
         if Lpad != Ltot:
             x = jnp.pad(x, ((0, 0), (0, Lpad - Ltot), (0, 0)))

@@ -32,6 +32,7 @@ Design notes (TPU-first, profile-driven on v5e — BENCH_NOTES.md round 2):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -48,6 +49,34 @@ except ImportError:  # pragma: no cover
 _NEG_INF = -1e30
 _LANE = 128
 _HPP_OVERRIDE: Optional[int] = None  # benchmark knob; None = heuristic
+_LOG2E = 1.4426950408889634
+# softmax inner form (all mathematically identical, f32, reordered only):
+#   'exp'    : e = exp(s*scale + bias - m)           [default]
+#   'expfold': e = exp((s_raw - m) * scale) over UNSCALED scores (the
+#              explicit scale pass folds into the exponential argument)
+#   'exp2'   : expfold via exp2(x * log2e)
+# Measured on v5e at B=64 (full step): exp 359.7 ms, expfold 362.4,
+# exp2 369.7 — Mosaic already fuses the scale multiply into the softmax
+# chain, and its exp lowering beats exp2, so the variants are kept only as
+# A/B knobs (AVSIAM_SOFTMAX env).
+_SOFTMAX_IMPL = os.environ.get("AVSIAM_SOFTMAX", "exp")
+
+
+def _softmax_e(s_raw, bias_row, scale: float):
+    """Unnormalized softmax numerator e from UNSCALED scores s_raw (f32).
+    Returns e with e.sum(-1) = denom, identical to
+    exp(s_raw*scale + bias - max(...)) in every form."""
+    if _SOFTMAX_IMPL in ("exp2", "expfold"):
+        s = s_raw if bias_row is None else s_raw + bias_row * (1.0 / scale)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        if _SOFTMAX_IMPL == "exp2":
+            return jnp.exp2((s - m) * (scale * _LOG2E))
+        return jnp.exp((s - m) * scale)
+    s = s_raw * scale
+    if bias_row is not None:
+        s = s + bias_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    return jnp.exp(s - m)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -79,12 +108,8 @@ def _attn_fwd_math(q, k, v, bias_row, scale: float, o_dtype):
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [Nq, Nk]
-    s = s * scale
-    if bias_row is not None:
-        s = s + bias_row
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    )  # [Nq, Nk], unscaled — scale folds into the softmax exponential
+    e = _softmax_e(s, bias_row, scale)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     # normalization deferred past the PV matmul: one reciprocal + one
     # multiply PER ROW instead of N^2 divisions (softmax is the VPU
@@ -106,11 +131,8 @@ def _attn_bwd_math(q, k, v, do, bias_row, scale: float):
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
-    if bias_row is not None:
-        s = s + bias_row
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)  # unnormalized probs: p = e * r, r = 1/rowsum(e)
+    )  # unscaled — scale folds into the softmax exponential
+    e = _softmax_e(s, bias_row, scale)  # p = e * r, r = 1/rowsum(e)
     r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [Nq, 1]
     # With p = e*r and row factors pulled out of every N^2 term, the
     # softmax VJP needs only elementwise mults on [Nq, Nk] (the N^2
@@ -391,11 +413,8 @@ def _fwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int):
         qi = jnp.where(m, qs, jnp.zeros_like(qs))
         s = jax.lax.dot_general(
             qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if bias_row is not None:
-            s = s + bias_row
-        mx = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - mx)
+            preferred_element_type=jnp.float32)
+        e = _softmax_e(s, bias_row, scale)
         denom = jnp.sum(e, axis=-1, keepdims=True)
         vi = jnp.where(m, vs, jnp.zeros_like(vs))
         oi = jnp.dot(e.astype(vs.dtype), vi,
@@ -421,11 +440,8 @@ def _bwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int):
         qi = jnp.where(m, qs, jnp.zeros_like(qs))
         s = jax.lax.dot_general(
             qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if bias_row is not None:
-            s = s + bias_row
-        mx = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - mx)
+            preferred_element_type=jnp.float32)
+        e = _softmax_e(s, bias_row, scale)
         r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         doi = jnp.where(m, do, jnp.zeros_like(do))
         dor = (r * doi).astype(vs.dtype)

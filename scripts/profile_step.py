@@ -79,6 +79,7 @@ def parse_trace(logdir: str, n_steps: int):
     op_tids = {pt for pt, n in tid_names.items() if "XLA Ops" in n}
     agg = collections.defaultdict(float)
     byname = collections.defaultdict(float)
+    bycat = collections.defaultdict(lambda: collections.defaultdict(float))
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -88,16 +89,22 @@ def parse_trace(logdir: str, n_steps: int):
             continue
         dur = e.get("dur", 0) / 1000.0  # us -> ms
         name = e.get("name", "?")
-        agg[categorize(name)] += dur
+        cat = categorize(name)
+        agg[cat] += dur
         byname[name] += dur
+        bycat[cat][name] += dur
         total += dur
     print(f"\ndevice op time over {n_steps} steps: {total:.1f} ms "
           f"({total / n_steps:.1f} ms/step)")
     for cat, ms in sorted(agg.items(), key=lambda kv: -kv[1]):
         print(f"  {cat:12s} {ms / n_steps:8.2f} ms/step")
-    print("\ntop 25 ops (ms/step):")
-    for name, ms in sorted(byname.items(), key=lambda kv: -kv[1])[:25]:
+    print("\ntop 20 ops (ms/step):")
+    for name, ms in sorted(byname.items(), key=lambda kv: -kv[1])[:20]:
         print(f"  {ms / n_steps:8.2f}  {name[:100]}")
+    for cat in ("copy_layout", "convert", "reduce", "fusion"):
+        print(f"\ntop 10 {cat} ops (ms/step):")
+        for name, ms in sorted(bycat[cat].items(), key=lambda kv: -kv[1])[:10]:
+            print(f"  {ms / n_steps:8.2f}  {name[:100]}")
 
 
 def main():
