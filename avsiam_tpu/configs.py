@@ -100,7 +100,10 @@ class CAVMAEConfig:
     # 'bucketed' = exact's gathers rounded up to lane multiples with masked
     # tails (same keep sets, fewer pad/slice copies, but the extra GEMM rows
     # cost more than the pads they save — kept as an option); 'packed' =
-    # exact's FLOPs over one token-packed array (also measured slower).
+    # exact's FLOPs over one token-packed array (also measured slower);
+    # 'tconcat' = exact's per-chunk attention with every token-pointwise op
+    # (LN/qkv/proj/MLP) run once over the row-concatenated chunks — one
+    # weight-gradient GEMM per weight instead of 5 accumulated partials.
     mmixed_impl: str = "padded"
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'

@@ -62,6 +62,18 @@ def chunk_sizes(batch: int, num_chunks: int) -> list[int]:
     return sizes
 
 
+def _pool_chunk_rows(x: jnp.ndarray, chunks: tuple) -> jnp.ndarray:
+    """Per-chunk mean pooling over a [T, C] row-concat stream: chunk i
+    occupies rows [off_i, off_i + B_i*N_i) and pools to [B_i, 1, C] — the
+    token-concat form of `_encode_contrastive`'s `jnp.mean(x, axis=1)`."""
+    parts, off = [], 0
+    for b, n in chunks:
+        rows = x[off:off + b * n].reshape(b, n, -1)
+        parts.append(jnp.mean(rows, axis=1, keepdims=True))
+        off += b * n
+    return jnp.concatenate(parts, axis=0)
+
+
 class MAEDecoder(nn.Module):
     """MAE decoder. Parity: cav_mae_base.py:311-337, 597-638."""
 
@@ -231,6 +243,8 @@ class CAVMAEPretrain(nn.Module):
 
         if c.mmixed_impl == "exact":
             ca, cv = self._mmixed_exact(a, v, perm_a, perm_v, sizes, ratios)
+        elif c.mmixed_impl == "tconcat":
+            ca, cv = self._mmixed_tconcat(a, v, perm_a, perm_v, sizes, ratios)
         elif c.mmixed_impl == "bucketed":
             ca, cv = self._mmixed_bucketed(a, v, perm_a, perm_v, sizes,
                                            ratios)
@@ -271,6 +285,51 @@ class CAVMAEPretrain(nn.Module):
         ca = jnp.concatenate(a_parts, axis=0)
         cv = jnp.concatenate(v_parts, axis=0)
         # inverse-permute back to input order (cav_mae_base.py:575-590)
+        ca = take_batch(ca, jnp.argsort(perm_a))
+        cv = take_batch(cv, jnp.argsort(perm_v))
+        return ca, cv
+
+    def _mmixed_tconcat(self, a, v, perm_a, perm_v, sizes, ratios):
+        """`exact` with all chunks' tokens row-concatenated into ONE [T, C]
+        stream per modality (identical RNG draws, gathers and keep sets —
+        per-row math matches `_mmixed_exact`): every LN/GEMM/GELU runs once
+        over the concatenated rows while attention runs per chunk at its
+        exact length on free contiguous-row views of the shared qkv output
+        (ModalityBlock.call_tconcat). Motivation: profiling showed the
+        chunked backward spends ~40 ms/step accumulating per-chunk partial
+        weight-gradient GEMMs (5 small-row partials + adds per weight per
+        block); one long-row GEMM per weight removes that entirely.
+        Same math as the reference's per-chunk encode
+        (cav_mae_base.py:543-594)."""
+        c = self.cfg
+        f, t = c.vit.audio_grid
+        Lv = v.shape[1]
+        a_rows, v_rows = [], []
+        a_chunks, v_chunks = [], []
+        off = 0
+        for i, size in enumerate(sizes):
+            idx_a = jax.lax.dynamic_slice_in_dim(perm_a, off, size)
+            idx_v = jax.lax.dynamic_slice_in_dim(perm_v, off, size)
+            a_i = take_batch(a, idx_a)
+            v_i = take_batch(v, idx_v)
+            a_i, _, _ = mk.random_masking_structured(
+                self.make_rng("mask"), a_i, ratios[i], t=t, f=f, mode="tf")
+            v_i, _, _ = mk.random_masking(
+                self.make_rng("mask"), v_i, mk.len_keep_for(Lv, ratios[i]))
+            a_rows.append(a_i.reshape(-1, a_i.shape[-1]))
+            v_rows.append(v_i.reshape(-1, v_i.shape[-1]))
+            a_chunks.append((size, a_i.shape[1]))
+            v_chunks.append((size, v_i.shape[1]))
+            off += size
+        a_chunks, v_chunks = tuple(a_chunks), tuple(v_chunks)
+        xa = self.vit.run_blocks_tconcat(jnp.concatenate(a_rows, axis=0),
+                                         "a", a_chunks)
+        xv = self.vit.run_blocks_tconcat(jnp.concatenate(v_rows, axis=0),
+                                         "v", v_chunks)
+        xa = self.vit.final_norm(xa, "a")
+        xv = self.vit.final_norm(xv, "v")
+        ca = _pool_chunk_rows(xa, a_chunks)
+        cv = _pool_chunk_rows(xv, v_chunks)
         ca = take_batch(ca, jnp.argsort(perm_a))
         cv = take_batch(cv, jnp.argsort(perm_v))
         return ca, cv

@@ -217,6 +217,39 @@ class ModalityBlock(nn.Module):
         x = x + self.mlp(n2(x))
         return x
 
+    def call_tconcat(self, x, modality: Optional[str],
+                     chunk_shapes: tuple):
+        """Token-concat form of ``__call__``: ``x`` is [T, C] — the row-wise
+        concatenation of several [B_i, N_i, C] chunks (``chunk_shapes`` =
+        static ((B_i, N_i), ...) with T = sum(B_i * N_i)).
+
+        Every token-pointwise op (norms, qkv/proj projections, MLP) runs ONCE
+        over all chunks' rows — one GEMM per weight instead of one per chunk —
+        while attention still runs per chunk at its exact sequence length
+        (free contiguous-row reshape views of the shared qkv GEMM output).
+        Per-row math is identical to calling ``__call__`` on each chunk, but
+        the backward computes each weight gradient as a single long-contraction
+        GEMM instead of accumulating per-chunk partials (the measured dominant
+        cost of the chunked mmixed backward — BENCH_NOTES.md round 3)."""
+        if modality is None:
+            n1, n2 = self.norm1, self.norm2
+        elif modality == "a":
+            n1, n2 = self.norm1_a, self.norm2_a
+        elif modality == "v":
+            n1, n2 = self.norm1_v, self.norm2_v
+        else:
+            raise ValueError(f"tconcat does not route modality {modality!r}")
+        qkv = self.attn.qkv(n1(x))  # ONE GEMM over all chunks' rows
+        outs, off = [], 0
+        for b, n in chunk_shapes:
+            r = b * n
+            o, _ = self.attn.attend(qkv[off:off + r].reshape(b, n, -1))
+            outs.append(o.reshape(r, -1))
+            off += r
+        x = x + self.attn.proj(jnp.concatenate(outs, axis=0))
+        x = x + self.mlp(n2(x))
+        return x
+
 
 class PatchEmbed(nn.Module):
     """Patchify + linear projection (MXU-friendly Conv2d k=p s=p equivalent).
@@ -308,6 +341,14 @@ class SiameseViT(nn.Module):
                    key_valid: Optional[jnp.ndarray] = None):
         for blk in self.blocks:
             x = blk(x, modality, key_valid)
+        return x
+
+    def run_blocks_tconcat(self, x, modality: Optional[str],
+                           chunk_shapes: tuple):
+        """Run all blocks in token-concat form (ModalityBlock.call_tconcat):
+        x is the [T, C] row-concat of the mmixed chunks of one modality."""
+        for blk in self.blocks:
+            x = blk.call_tconcat(x, modality, chunk_shapes)
         return x
 
     def final_norm(self, x, modality: str):

@@ -180,6 +180,76 @@ def test_keep_counts_per_ratio():
     assert keeps == [64, 51, 38, 25, 12]
 
 
+def test_tconcat_matches_exact_same_rng():
+    """The tconcat impl (one [T, C] row-concat stream per modality, per-chunk
+    attention on contiguous views) consumes the SAME RNG draws as exact and
+    its per-row math is the same GEMMs/LN/GELU, so embeddings must match on
+    identical inputs — including ragged and fewer-than-5-chunk batches."""
+    from avsiam_tpu.configs import replace
+    from avsiam_tpu.models.cavmae import CAVMAEPretrain as M
+
+    cfg = CAVMAEConfig(vit=TINY, mmixed_impl="exact",
+                       decoder=DecoderConfig(dim=16, depth=1, num_heads=2))
+    model_e = CAVMAEPretrain(cfg)
+    model_t = CAVMAEPretrain(replace(cfg, mmixed_impl="tconcat"))
+    rng = jax.random.PRNGKey(0)
+    for B in (5, 4, 7):  # even chunks, fewer-than-5 chunks, ragged chunks
+        a = jax.random.normal(jax.random.fold_in(rng, B),
+                              (B, TINY.audio_length, TINY.mel_bins))
+        v = jax.random.normal(jax.random.fold_in(rng, B + 100),
+                              (B, 3, TINY.img_size, TINY.img_size))
+        params = model_e.init({"params": rng, "mask": rng, "perm": rng}, a, v,
+                              mae_loss_weight=0.0, contrast_loss_weight=1.0)
+        rngs = {"mask": jax.random.PRNGKey(1), "perm": jax.random.PRNGKey(2)}
+        ca_e, cv_e = model_e.apply(params, a, v,
+                                   method=M.forward_encoder_mmixed, rngs=rngs)
+        ca_t, cv_t = model_t.apply(params, a, v,
+                                   method=M.forward_encoder_mmixed, rngs=rngs)
+        np.testing.assert_allclose(np.asarray(ca_t), np.asarray(ca_e),
+                                   atol=2e-5, rtol=1e-4, err_msg=f"B={B}")
+        np.testing.assert_allclose(np.asarray(cv_t), np.asarray(cv_e),
+                                   atol=2e-5, rtol=1e-4, err_msg=f"B={B}")
+
+
+def test_tconcat_gradients_match_exact():
+    """tconcat must also BACKPROPAGATE identically to exact: the weight
+    gradients of the contrastive loss agree even though tconcat computes each
+    one as a single long-row GEMM instead of 5 accumulated per-chunk
+    partials (same math, different contraction grouping)."""
+    from avsiam_tpu.configs import replace
+    from avsiam_tpu.models.cavmae import CAVMAEPretrain as M
+
+    cfg = CAVMAEConfig(vit=TINY, mmixed_impl="exact",
+                       decoder=DecoderConfig(dim=16, depth=1, num_heads=2))
+    model_e = CAVMAEPretrain(cfg)
+    model_t = CAVMAEPretrain(replace(cfg, mmixed_impl="tconcat"))
+    rng = jax.random.PRNGKey(3)
+    B = 5
+    a = jax.random.normal(rng, (B, TINY.audio_length, TINY.mel_bins))
+    v = jax.random.normal(jax.random.fold_in(rng, 1),
+                          (B, 3, TINY.img_size, TINY.img_size))
+    params = model_e.init({"params": rng, "mask": rng, "perm": rng}, a, v,
+                          mae_loss_weight=0.0, contrast_loss_weight=1.0)
+    rngs = {"mask": jax.random.PRNGKey(1), "perm": jax.random.PRNGKey(2)}
+
+    def loss(mdl, p):
+        def fwd(m):
+            ca, cv = m.forward_encoder_mmixed(a, v)
+            return jnp.sum(ca * cv)  # couples every chunk's embeddings
+        return mdl.apply(p, method=fwd, rngs=dict(rngs))
+
+    ge = jax.grad(lambda p: loss(model_e, p))(params)
+    gt = jax.grad(lambda p: loss(model_t, p))(params)
+    flat_e = jax.tree_util.tree_leaves_with_path(ge)
+    flat_t = {jax.tree_util.keystr(k): x
+              for k, x in jax.tree_util.tree_leaves_with_path(gt)}
+    for k, xe in flat_e:
+        xt = flat_t[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(xt), np.asarray(xe),
+                                   atol=3e-5, rtol=2e-4,
+                                   err_msg=jax.tree_util.keystr(k))
+
+
 def test_bucketed_equals_exact():
     """The 'bucketed' impl (lane-aligned gathers + masked tails) must produce
     the same contrastive embeddings as 'exact' under the same RNG: identical
