@@ -107,7 +107,10 @@ class CAVMAEConfig:
     mmixed_impl: str = "padded"
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
-    mlp_impl: str = "dense"  # 'dense' (XLA) | 'fused' (Pallas fc1+GELU+fc2)
+    # 'dense' (XLA two-GEMM) | 'remat_g' (drop the pre-GELU hidden residual,
+    # recompute it in backward: one extra GEMM for one less [*,4D] HBM
+    # round-trip) | 'remat_all' (drop both hiddens) | 'fused' (Pallas)
+    mlp_impl: str = "dense"
     remat_blocks: bool = False  # jax.checkpoint each encoder block
 
 

@@ -33,17 +33,44 @@ from avsiam_tpu.ops.patchify import audio_to_image, patchify
 Dtype = Any
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching nn.LayerNorm's tree ('scale' ones, 'bias'
+    zeros, f32) so checkpoints/importers are unchanged by the custom-VJP
+    LayerNorm compute path."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+
 class LayerNormFP32(nn.Module):
-    """LayerNorm with float32 statistics; output cast back to ``dtype``."""
+    """LayerNorm with float32 statistics; output cast back to ``dtype``.
+
+    Compute goes through ops/layernorm.py: identical forward math to flax
+    nn.LayerNorm (mean-of-squares variance), with a fused single-read Pallas
+    backward on TPU (XLA re-reads the activations once per dx fusion and
+    once per dgamma fusion; the step is bandwidth-bound — BENCH_NOTES.md)."""
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="ln")(
-                             x.astype(jnp.float32))
+        from avsiam_tpu.ops.layernorm import LN_IMPL, layer_norm_fp32
+        if LN_IMPL != "pallas":
+            # default: plain flax module + XLA autodiff (the measured winner)
+            y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
+                             param_dtype=jnp.float32, name="ln")(
+                                 x.astype(jnp.float32))
+            return y.astype(self.dtype)
+        p = _LNParams(x.shape[-1], name="ln")
+        # x passes in its own dtype: the custom VJP stores the bf16 x as its
+        # residual (not an upcast f32 copy) and casts to f32 internally
+        y = layer_norm_fp32(x, p.scale, p.bias, self.epsilon)
         return y.astype(self.dtype)
 
 
@@ -67,9 +94,23 @@ class Mlp(nn.Module):
     """timm Mlp parity: fc1 -> GELU (exact erf by default) -> fc2.
 
     ``gelu`` selects the activation numerics (ops/gelu.py: 'erf' exact parity,
-    'cheb'/'ans' erf-grade fast approximations, 'tanh'). impl='fused' runs the
-    Pallas fused kernel (ops/mlp.py): the [*, 4D] hidden never leaves VMEM.
-    'dense' is the plain XLA two-GEMM form."""
+    'cheb'/'ans' erf-grade fast approximations, 'tanh'). ``impl``:
+
+    * 'dense'     — plain XLA two-GEMM form; autodiff saves BOTH [*, 4D]
+                    intermediates (pre-GELU h and gelu(h)) as residuals.
+    * 'remat_g'   — same forward, but only gelu(h) is saved: the backward
+                    recomputes h with one extra fc1 GEMM instead of reading
+                    it from HBM. The step is bandwidth-bound on this chip
+                    (~330 GB/s measured vs ~330 TF/s GEMM) so trading one
+                    [*, 4D] HBM round-trip for MXU FLOPs is a win. NO extra
+                    transcendentals: the backward computed gelu'(h) from h
+                    either way. Identical math/gradients (tested).
+    * 'remat_all' — neither intermediate saved: backward recomputes fc1 AND
+                    gelu (one extra erf pass). Maximum residual-traffic
+                    saving, costs one fwd-GELU re-evaluation.
+    * 'fused'     — Pallas fused kernel (ops/mlp.py): the hidden never
+                    leaves VMEM (measured slower than XLA's GEMMs, kept).
+    """
 
     dim: int
     hidden_dim: int
@@ -82,6 +123,11 @@ class Mlp(nn.Module):
         self.fc2 = DenseParams(self.hidden_dim, self.dim)
 
     def __call__(self, x):
+        import functools
+
+        import jax
+        from jax.ad_checkpoint import checkpoint_name
+
         from avsiam_tpu.ops import gelu as gelu_ops
         dt = self.dtype
         x = x.astype(dt)
@@ -89,10 +135,26 @@ class Mlp(nn.Module):
             from avsiam_tpu.ops.mlp import fused_mlp
             return fused_mlp(x, self.fc1.kernel, self.fc1.bias,
                              self.fc2.kernel, self.fc2.bias, gelu=self.gelu)
-        x = jnp.dot(x, self.fc1.kernel.astype(dt)) + self.fc1.bias.astype(dt)
+        w1 = self.fc1.kernel.astype(dt)
+        b1 = self.fc1.bias.astype(dt)
+        w2 = self.fc2.kernel.astype(dt)
+        b2 = self.fc2.bias.astype(dt)
+        if self.impl in ("remat_g", "remat_all"):
+            policy = (jax.checkpoint_policies.save_only_these_names("mlp_g")
+                      if self.impl == "remat_g"
+                      else jax.checkpoint_policies.nothing_saveable)
+
+            @functools.partial(jax.checkpoint, policy=policy)
+            def run(x, w1, b1, w2, b2):
+                h = jnp.dot(x, w1) + b1
+                g = checkpoint_name(gelu_ops.gelu(h, impl=self.gelu), "mlp_g")
+                return jnp.dot(g, w2) + b2
+
+            return run(x, w1, b1, w2, b2)
+        x = jnp.dot(x, w1) + b1
         # torch nn.GELU() is exact erf; 'cheb'/'ans' are bf16-bit-equivalent
         x = gelu_ops.gelu(x, impl=self.gelu)
-        x = jnp.dot(x, self.fc2.kernel.astype(dt)) + self.fc2.bias.astype(dt)
+        x = jnp.dot(x, w2) + b2
         return x
 
 

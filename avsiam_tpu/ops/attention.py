@@ -402,47 +402,85 @@ def _lane_masks(D: int):
     return [lane // D == i for i in range(_LANE // D)]
 
 
-def _fwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int):
-    bias_ref, o_ref = refs if len(refs) == 2 else (None, refs[0])
+def _fwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int,
+                   save_stats: bool):
+    # refs: [bias?], o, [stats_out]?  — stats are per-(row, head) softmax
+    # max and 1/denom, packed on the LANE dim of a [1, 1, Np, 8] block
+    # (head i's max at lane i, its 1/denom at lane hp+i: column stores, no
+    # in-kernel transpose; trailing block dims (Np, 8) match the array so
+    # Mosaic's (8,128)-divisibility rule is satisfied) and consumed by the
+    # backward kernel, which then skips both N^2 reduces (rowmax, rowsum).
+    refs = list(refs)
+    bias_ref = refs.pop(0) if len(refs) == (3 if save_stats else 2) else None
+    if save_stats:
+        o_ref, st_ref = refs
+    else:
+        (o_ref,) = refs
     qs = qs_ref[0]
     ks = ks_ref[0]
     vs = vs_ref[0]
+    hp = _LANE // D
     bias_row = None if bias_ref is None else bias_ref[0]
     acc = None
-    for m in _lane_masks(D):
+    for i, m in enumerate(_lane_masks(D)):
         qi = jnp.where(m, qs, jnp.zeros_like(qs))
         s = jax.lax.dot_general(
             qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        e = _softmax_e(s, bias_row, scale)
+        if save_stats:
+            s = s * scale
+            if bias_row is not None:
+                s = s + bias_row
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+        else:
+            e = _softmax_e(s, bias_row, scale)
         denom = jnp.sum(e, axis=-1, keepdims=True)
         vi = jnp.where(m, vs, jnp.zeros_like(vs))
         oi = jnp.dot(e.astype(vs.dtype), vi,
                      preferred_element_type=jnp.float32)
         oi = oi * (1.0 / denom)
         acc = oi if acc is None else acc + oi
+        if save_stats:
+            st_ref[0, 0, :, i:i + 1] = mx
+            st_ref[0, 0, :, hp + i:hp + i + 1] = 1.0 / denom
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _bwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int):
-    if len(refs) == 3:
-        bias_ref, do_ref, dqkv_ref = refs
+def _bwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int,
+                   with_stats: bool):
+    # refs: [bias?], [stats_in]?, do, dqkv — with_stats skips the rowmax
+    # and rowsum N^2 reduce passes using the forward's saved statistics
+    # (packed [1, 1, Np, 8]: head i's max at lane i, 1/denom at lane hp+i).
+    refs = list(refs)
+    nbase = 2 + (1 if with_stats else 0)
+    bias_ref = refs.pop(0) if len(refs) == nbase + 1 else None
+    if with_stats:
+        st_ref, do_ref, dqkv_ref = refs
     else:
-        bias_ref = None
+        st_ref = None
         do_ref, dqkv_ref = refs
     qs = qs_ref[0]
     ks = ks_ref[0]
     vs = vs_ref[0]
+    hp = _LANE // D
     do = do_ref[0].astype(jnp.float32)
     bias_row = None if bias_ref is None else bias_ref[0]
     dq_acc = dk_acc = dv_acc = None
-    for m in _lane_masks(D):
+    for i, m in enumerate(_lane_masks(D)):
         qi = jnp.where(m, qs, jnp.zeros_like(qs))
         s = jax.lax.dot_general(
             qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        e = _softmax_e(s, bias_row, scale)
-        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        if with_stats:
+            s = s * scale
+            if bias_row is not None:
+                s = s + bias_row
+            e = jnp.exp(s - st_ref[0, 0, :, i:i + 1])
+            r = st_ref[0, 0, :, hp + i:hp + i + 1]
+        else:
+            e = _softmax_e(s, bias_row, scale)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         doi = jnp.where(m, do, jnp.zeros_like(do))
         dor = (r * doi).astype(vs.dtype)
         eb = e.astype(vs.dtype)
@@ -485,7 +523,7 @@ def _tm_specs(B, Np, C, with_bias):
     return specs
 
 
-def _pallas_fwd_tm(xqkv, bias, *, num_heads: int):
+def _pallas_fwd_tm(xqkv, bias, *, num_heads: int, save_stats: bool = False):
     B, Np, C3 = xqkv.shape
     C = C3 // 3
     D = C // num_heads
@@ -493,13 +531,24 @@ def _pallas_fwd_tm(xqkv, bias, *, num_heads: int):
     grid = (B, C // _LANE)
     in_specs = _tm_specs(B, Np, C, bias is not None)
     args = [xqkv, xqkv, xqkv] + ([bias] if bias is not None else [])
+    out_specs = pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Np, C), xqkv.dtype)
+    if save_stats:
+        # packed per-column-group stats [B, G, Np, 8]: trailing block dims
+        # (Np, 8) equal the array's, satisfying Mosaic's divisibility rule
+        stat_spec = pl.BlockSpec((1, 1, Np, 8), lambda b, j: (b, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = (out_specs, stat_spec)
+        stat_shape = jax.ShapeDtypeStruct((B, C // _LANE, Np, 8), jnp.float32)
+        out_shape = (out_shape, stat_shape)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_tm, scale=scale, D=D),
+        functools.partial(_fwd_kernel_tm, scale=scale, D=D,
+                          save_stats=save_stats),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Np, C), xqkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Np * Np * C,
             bytes_accessed=4 * B * Np * C * xqkv.dtype.itemsize,
@@ -510,18 +559,25 @@ def _pallas_fwd_tm(xqkv, bias, *, num_heads: int):
     )(*args)
 
 
-def _pallas_bwd_tm(xqkv, bias, do, *, num_heads: int):
+def _pallas_bwd_tm(xqkv, bias, stats, do, *, num_heads: int):
     B, Np, C3 = xqkv.shape
     C = C3 // 3
     D = C // num_heads
     scale = D ** -0.5
     grid = (B, C // _LANE)
     in_specs = _tm_specs(B, Np, C, bias is not None)
+    args = [xqkv, xqkv, xqkv] + ([bias] if bias is not None else [])
+    if stats is not None:
+        stat_spec = pl.BlockSpec((1, 1, Np, 8), lambda b, j: (b, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs.append(stat_spec)
+        args.append(stats)
     in_specs.append(pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
                                  memory_space=pltpu.VMEM))
-    args = [xqkv, xqkv, xqkv] + ([bias] if bias is not None else []) + [do]
+    args.append(do)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel_tm, scale=scale, D=D),
+        functools.partial(_bwd_kernel_tm, scale=scale, D=D,
+                          with_stats=stats is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((3, 1, Np, _LANE), lambda b, j: (0, b, 0, j),
@@ -532,18 +588,32 @@ def _pallas_bwd_tm(xqkv, bias, do, *, num_heads: int):
     )(*args)
 
 
+# AVSIAM_ATTN_STATS=1 saves forward softmax statistics (rowmax + 1/denom,
+# packed [B, G, Np, 8] f32) for the backward, which then skips both N^2
+# reduce passes. MEASURED-NEGATIVE on v5e at B=64: 168.1 clips/s / 380.6 ms
+# vs 181.4 / 352.8 without — the per-head [Np, 1] column stores into the
+# narrow lane-8 stat block stall the forward kernel's pipeline for far more
+# than the two skipped backward reduces are worth. Kept as an A/B knob
+# (gradient-equivalence tested either way); default OFF.
+_SAVE_STATS = os.environ.get("AVSIAM_ATTN_STATS", "0") == "1"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _pallas_attention_tm(xqkv, bias, num_heads):
     return _pallas_fwd_tm(xqkv, bias, num_heads=num_heads)
 
 
 def _pallas_attention_tm_fwd(xqkv, bias, num_heads):
-    return _pallas_fwd_tm(xqkv, bias, num_heads=num_heads), (xqkv, bias)
+    if _SAVE_STATS and _SOFTMAX_IMPL == "exp":
+        out, stats = _pallas_fwd_tm(xqkv, bias, num_heads=num_heads,
+                                    save_stats=True)
+        return out, (xqkv, bias, stats)
+    return _pallas_fwd_tm(xqkv, bias, num_heads=num_heads), (xqkv, bias, None)
 
 
 def _pallas_attention_tm_bwd(num_heads, residuals, do):
-    xqkv, bias = residuals
-    dqkv3 = _pallas_bwd_tm(xqkv, bias, do, num_heads=num_heads)
+    xqkv, bias, stats = residuals
+    dqkv3 = _pallas_bwd_tm(xqkv, bias, stats, do, num_heads=num_heads)
     # [3, B, Np, C] -> the [B, Np, 3C] cotangent: the ONE layout op of the
     # whole backward path
     B, Np = xqkv.shape[0], xqkv.shape[1]

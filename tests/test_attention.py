@@ -118,3 +118,33 @@ def test_token_major_qkv_matches_separate():
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
                                    atol=1e-4, rtol=1e-4,
                                    err_msg=f"N={N} D={D} masked={masked}")
+
+
+def test_token_major_saved_stats_match_recompute():
+    """The backward with forward-saved softmax stats (m, 1/denom) must
+    produce the same gradients as the recompute-everything backward — the
+    stats only skip the rowmax/rowsum reduce passes, not any math."""
+    import importlib
+    att = importlib.import_module("avsiam_tpu.ops.attention")
+
+    for N, H, D, masked in ((130, 2, 64, False), (120, 4, 32, True)):
+        rng = jax.random.PRNGKey(N)
+        C = H * D
+        xqkv = jax.random.normal(rng, (2, N, 3 * C))
+        valid = (jax.random.uniform(rng, (2, N)) > 0.3) if masked else None
+
+        def loss(xqkv):
+            return jnp.sum(att.attention_qkv(xqkv, H, key_valid=valid,
+                                             impl="pallas") ** 2)
+
+        saved = att._SAVE_STATS
+        try:
+            att._SAVE_STATS = True
+            g_stats = jax.grad(loss)(xqkv)
+            att._SAVE_STATS = False
+            g_rec = jax.grad(loss)(xqkv)
+        finally:
+            att._SAVE_STATS = saved
+        np.testing.assert_allclose(np.asarray(g_stats), np.asarray(g_rec),
+                                   atol=1e-6, rtol=1e-6,
+                                   err_msg=f"N={N} D={D} masked={masked}")

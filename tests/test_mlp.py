@@ -79,3 +79,34 @@ def test_mlp_module_fused_matches_dense():
     out_f = fused.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_mlp_remat_variants_bitwise_match_dense():
+    """'remat_g'/'remat_all' change WHAT is saved for backward, not the math:
+    forward outputs must be BIT-IDENTICAL to 'dense' and gradients equal to
+    float-reassociation tolerance (the recomputed fc1 GEMM may be fused and
+    reassociated differently by XLA inside the backward program)."""
+    from avsiam_tpu.models.layers import Mlp
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (2, 33, D))
+    dense = Mlp(D, H, jnp.float32, "erf", "dense")
+    params = dense.init(rng, x)
+
+    def loss(impl, p, x):
+        m = Mlp(D, H, jnp.float32, "erf", impl)
+        return jnp.sum(jnp.sin(m.apply(p, x)))
+
+    out_d = dense.apply(params, x)
+    gd = jax.jit(jax.grad(lambda p, x: loss("dense", p, x),
+                          argnums=(0, 1)))(params, x)
+    for impl in ("remat_g", "remat_all"):
+        out_i = Mlp(D, H, jnp.float32, "erf", impl).apply(params, x)
+        np.testing.assert_array_equal(np.asarray(out_i), np.asarray(out_d),
+                                      err_msg=f"{impl} forward")
+        gi = jax.jit(jax.grad(lambda p, x: loss(impl, p, x),
+                              argnums=(0, 1)))(params, x)
+        for a, b in zip(jax.tree_util.tree_leaves(gi),
+                        jax.tree_util.tree_leaves(gd)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=2e-5,
+                                       err_msg=f"{impl} grad")
