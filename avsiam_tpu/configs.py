@@ -109,8 +109,13 @@ class CAVMAEConfig:
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
     # 'dense' (XLA two-GEMM) | 'remat_g' (drop the pre-GELU hidden residual,
     # recompute it in backward: one extra GEMM for one less [*,4D] HBM
-    # round-trip) | 'remat_all' (drop both hiddens) | 'fused' (Pallas)
+    # round-trip) | 'remat_all' (drop both hiddens) | 'fused' (Pallas fwd +
+    # single-kernel bwd) | 'fbwd' (XLA fwd, Pallas single-kernel bwd)
     mlp_impl: str = "dense"
+    # decoder blocks' MLP impl; None = same as mlp_impl (the decoder's
+    # [B,720,2048] hiddens are the step's largest MLP traffic — worth an
+    # independent knob)
+    dec_mlp_impl: Any = None
     remat_blocks: bool = False  # jax.checkpoint each encoder block
 
 

@@ -100,7 +100,7 @@ class MAEDecoder(nn.Module):
         self.blocks = [
             ModalityBlock(d.dim, d.num_heads, d.mlp_ratio, True, d.ln_eps,
                           self.dtype, c.attn_impl, c.vit.gelu,
-                          c.mlp_impl, name=f"blocks_{i}")
+                          c.dec_mlp_impl or c.mlp_impl, name=f"blocks_{i}")
             for i in range(d.depth)
         ]
         self.norm = LayerNormFP32(epsilon=d.ln_eps, dtype=self.dtype,

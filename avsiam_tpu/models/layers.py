@@ -131,10 +131,11 @@ class Mlp(nn.Module):
         from avsiam_tpu.ops import gelu as gelu_ops
         dt = self.dtype
         x = x.astype(dt)
-        if self.impl == "fused":
+        if self.impl in ("fused", "fbwd", "fres"):
             from avsiam_tpu.ops.mlp import fused_mlp
             return fused_mlp(x, self.fc1.kernel, self.fc1.bias,
-                             self.fc2.kernel, self.fc2.bias, gelu=self.gelu)
+                             self.fc2.kernel, self.fc2.bias, gelu=self.gelu,
+                             impl=self.impl)
         w1 = self.fc1.kernel.astype(dt)
         b1 = self.fc1.bias.astype(dt)
         w2 = self.fc2.kernel.astype(dt)

@@ -228,6 +228,39 @@ def gelu_grad_f32(x, impl: str):
     return cdf + x * pdf
 
 
+def gelu_act_grad_f32(x, impl: str):
+    """(gelu(x), gelu'(x)) with shared subexpressions — for backward kernels
+    that need both (dw2 wants the activation, the GELU VJP wants the
+    derivative). For 'ans' the A&S erf's exp(-z^2) with z = x/sqrt(2) IS the
+    Gaussian pdf's exp(-x^2/2): one exp + one reciprocal + one polynomial
+    serve both outputs (vs 3 exps + 2 reciprocals for separate
+    gelu_f32 + gelu_grad_f32 calls). For 'cheb' the Clenshaw CDF is shared;
+    'tanh' shares the inner tanh. Values match the separate calls to f32
+    reassociation (sub-bf16-ulp)."""
+    if impl == "ans":
+        z = x * _INV_SQRT_2
+        a = jnp.abs(z)
+        t = 1.0 / (1.0 + 0.3275911 * a)
+        poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+                 - 0.284496736) * t + 0.254829592) * t
+        eexp = jnp.exp(-a * a)  # == exp(-x^2/2): shared with the pdf
+        erf = jnp.sign(z) * (1.0 - poly * eexp)
+        cdf = 0.5 * (1.0 + erf)
+        pdf = eexp * _INV_SQRT_2PI
+        return x * cdf, cdf + x * pdf
+    if impl == "cheb":
+        cdf = phi_cheb(x)
+        pdf = jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
+        return x * cdf, cdf + x * pdf
+    if impl == "tanh":
+        inner = _TANH_C * (x + 0.044715 * x * x * x)
+        t = jnp.tanh(inner)
+        dinner = _TANH_C * (1.0 + 3 * 0.044715 * x * x)
+        return (0.5 * x * (1.0 + t),
+                0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * dinner)
+    return gelu_f32(x, impl), gelu_grad_f32(x, impl)
+
+
 def gelu(x: jnp.ndarray, impl: str = "erf") -> jnp.ndarray:
     """GELU with selectable numerics.
 

@@ -9,14 +9,16 @@ Design:
 * forward — grid over row blocks of the token-packed [T, D] input; both
   weight matrices stay VMEM-resident across grid steps (constant index_map);
   fc1 accumulates f32, GELU computed in f32, fc2 accumulates f32.
-* backward — custom VJP, three kernels:
-    1. dx kernel (grid over rows): recompute h_pre = x@w1+b1, gh =
-       gelu'(h_pre) * (dout @ w2ᵀ), dx = gh @ w1ᵀ; stashes gh and gelu(h_pre)
-       for the weight-gradient kernels.
-    2/3. weight-grad kernel (generic): dw = Σ_blocks aᵀ@g with f32
-       accumulation in a VMEM-resident output (TPU grids run sequentially,
-       so revisiting the same output block accumulates correctly), db =
-       column sums of g.
+* backward — custom VJP, ONE kernel (grid over row blocks): recompute
+  h_pre = x@w1+b1 and act = gelu(h_pre) in VMEM, gh = gelu'(h_pre) *
+  (dout @ w2ᵀ), write dx = gh @ w1ᵀ, and accumulate dw1 += xᵀ@gh,
+  dw2 += actᵀ@dout, db1/db2 (column sums) into VMEM-resident f32 outputs
+  (constant index maps; TPU grids run sequentially, so revisiting the same
+  output block accumulates correctly). Nothing hidden-sized ever touches
+  HBM in either direction. The round-2 three-kernel form (dx kernel
+  stashing gh/act to HBM + two weight-grad kernels re-reading them —
+  measured-negative: the [T,H] stash round-trips cost more than the dw
+  consolidation saved) is kept behind AVSIAM_MLP_BWD=split.
 * rows are padded to the block size with zeros; zero rows contribute zero to
   every gradient, so no masking is needed.
 
@@ -30,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +43,7 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
-from avsiam_tpu.ops.gelu import gelu_f32, gelu_grad_f32
+from avsiam_tpu.ops.gelu import gelu_act_grad_f32, gelu_f32, gelu_grad_f32
 
 
 def _kernel_impl(gelu: str) -> str:
@@ -70,12 +73,18 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, gelu):
-    h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
-    h = _gelu_f32(h + b1_ref[:].astype(jnp.float32), gelu)
-    h = h.astype(x_ref.dtype)
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *out_refs, gelu,
+                save_hpre: bool):
+    # out_refs: (o,) or (o, hpre) — save_hpre emits the pre-GELU hidden as a
+    # residual for an XLA backward ('fres' impl)
+    hpre = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[:].astype(jnp.float32)
+    if save_hpre:
+        out_refs[1][:] = hpre.astype(out_refs[1].dtype)
+    h = _gelu_f32(hpre, gelu).astype(x_ref.dtype)
     y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    o_ref[:] = (y + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    out_refs[0][:] = (y + b2_ref[:].astype(jnp.float32)).astype(
+        out_refs[0].dtype)
 
 
 def _bwd_dx_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
@@ -125,6 +134,50 @@ def _dw_kernel(a_ref, g_ref, dw_ref, db_ref):
         db_ref[:] += bpart
 
 
+def _bwd_fused_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
+                      dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, gelu):
+    # One row block per grid step; dw/db outputs have constant index maps and
+    # stay VMEM-resident in f32 across the whole (sequential) grid.
+    i = pl.program_id(0)
+    x = x_ref[:]
+    do = do_ref[:]
+    hpre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[:].astype(jnp.float32)
+    act_f32, grad = gelu_act_grad_f32(hpre, _kernel_impl(gelu))
+    act = act_f32.astype(x.dtype)
+    dh = jax.lax.dot_general(  # dout @ w2^T: contract the D axis
+        do, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gh = dh * grad
+    ghb = gh.astype(x.dtype)
+    dx = jax.lax.dot_general(  # gh @ w1^T: contract the H axis
+        ghb, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    dw1_part = jax.lax.dot_general(  # x^T @ gh over the row-block axis
+        x, ghb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2_part = jax.lax.dot_general(  # act^T @ dout over the row-block axis
+        act, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_part = jnp.sum(gh, axis=0, keepdims=True)
+    db2_part = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = dw1_part
+        db1_ref[:] = db1_part
+        dw2_ref[:] = dw2_part
+        db2_ref[:] = db2_part
+
+    @pl.when(i > 0)
+    def _():
+        dw1_ref[:] += dw1_part
+        db1_ref[:] += db1_part
+        dw2_ref[:] += dw2_part
+        db2_ref[:] += db2_part
+
+
 def _pad_rows(x, tp):
     return x if x.shape[0] == tp else jnp.pad(x, ((0, tp - x.shape[0]),
                                                   (0, 0)))
@@ -133,39 +186,97 @@ def _pad_rows(x, tp):
 _BLOCK_T = 256  # fwd row block; bwd uses 128 (more f32 live per row)
 
 
-def _fwd_call(x, w1, b1, w2, b2, gelu):
+def _fwd_call(x, w1, b1, w2, b2, gelu, save_hpre: bool = False):
     T, D = x.shape
     H = w1.shape[1]
     tp = -(-T // _BLOCK_T) * _BLOCK_T
     xp = _pad_rows(x, tp)
     grid = (tp // _BLOCK_T,)
     const = lambda i: (0, 0)
+    row = lambda i: (i, 0)
+    o_spec = pl.BlockSpec((_BLOCK_T, D), row, memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((tp, D), x.dtype)
+    if save_hpre:
+        out_specs = (o_spec, pl.BlockSpec((_BLOCK_T, H), row,
+                                          memory_space=pltpu.VMEM))
+        out_shape = (o_shape, jax.ShapeDtypeStruct((tp, H), x.dtype))
+    else:
+        out_specs, out_shape = o_spec, o_shape
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, gelu=gelu),
+        functools.partial(_fwd_kernel, gelu=gelu, save_hpre=save_hpre),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_BLOCK_T, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_T, D), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BLOCK_T, D), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, D), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * tp * D * H,
-            bytes_accessed=(2 * tp * D + 2 * D * H) * x.dtype.itemsize,
+            bytes_accessed=(2 * tp * D + 2 * D * H) * x.dtype.itemsize
+            + (tp * H * x.dtype.itemsize if save_hpre else 0),
             transcendentals=tp * H,
         ),
         compiler_params=_params(),
         interpret=_interpret(),
     )(xp, w1, b1, w2, b2)
+    if save_hpre:
+        return out[0][:T], out[1][:T]
     return out[:T]
 
 
 def _bwd_call(x, w1, b1, w2, do, gelu):
+    if os.environ.get("AVSIAM_MLP_BWD") == "split":
+        return _bwd_call_split(x, w1, b1, w2, do, gelu)
+    T, D = x.shape
+    H = w1.shape[1]
+    bt = int(os.environ.get("AVSIAM_MLP_BT", _BLOCK_T))
+    tp = -(-T // bt) * bt
+    xp = _pad_rows(x, tp)
+    dop = _pad_rows(do, tp)
+    grid = (tp // bt,)
+    const = lambda i: (0, 0)
+    row = lambda i: (i, 0)
+    dxp, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, gelu=gelu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, D), x.dtype),
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * tp * D * H,
+            bytes_accessed=(3 * tp * D + 2 * D * H) * x.dtype.itemsize
+            + 2 * D * H * 4,
+            transcendentals=2 * tp * H,
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(xp, w1, b1, w2, dop)
+    return dxp[:T], dw1, db1[0], dw2, db2[0]
+
+
+def _bwd_call_split(x, w1, b1, w2, do, gelu):
     T, D = x.shape
     H = w1.shape[1]
     bt = 128
@@ -250,16 +361,87 @@ def _fused_mlp_bwd(gelu, res, do):
 _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fres_mlp(x, w1, b1, w2, b2, gelu):
+    # 'fres': Pallas forward (hidden never round-trips HBM between the
+    # GEMMs) that ALSO emits the pre-GELU hidden as a bf16 residual — the
+    # backward is then plain XLA ops on the saved residual, exactly the
+    # (measured-faster) backward structure of the 'dense' path.
+    return _fwd_call(x, w1, b1, w2, b2, gelu)
+
+
+def _fres_mlp_fwd(x, w1, b1, w2, b2, gelu):
+    out, hpre = _fwd_call(x, w1, b1, w2, b2, gelu, save_hpre=True)
+    return out, (x, w1, w2, hpre)
+
+
+def _fres_mlp_bwd(gelu, res, do):
+    x, w1, w2, hpre = res
+    dt = x.dtype
+    act_f32, grad = gelu_act_grad_f32(hpre.astype(jnp.float32),
+                                      _kernel_impl(gelu))
+    dh = jax.lax.dot_general(  # dout @ w2^T: contract the D axis
+        do, w2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gh = (dh * grad).astype(dt)
+    dx = jax.lax.dot_general(  # gh @ w1^T: contract the H axis
+        gh, w1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+    dw1 = jax.lax.dot_general(  # x^T @ gh
+        x, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(  # act^T @ dout
+        act_f32.astype(dt), do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1 = jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True)
+    db2 = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
+    return (dx, dw1.astype(w1.dtype), db1.astype(w1.dtype),
+            dw2.astype(w2.dtype), db2.astype(w2.dtype))
+
+
+_fres_mlp.defvjp(_fres_mlp_fwd, _fres_mlp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fbwd_mlp(x, w1, b1, w2, b2, gelu):
+    # forward = the 'dense' XLA path bit-for-bit (layers.Mlp dense impl)
+    from avsiam_tpu.ops.gelu import gelu as _gelu_op
+    h = jnp.dot(x, w1) + b1
+    g = _gelu_op(h, impl=gelu)
+    return jnp.dot(g, w2) + b2
+
+
+def _fbwd_mlp_fwd(x, w1, b1, w2, b2, gelu):
+    return _fbwd_mlp(x, w1, b1, w2, b2, gelu), (x, w1, b1, w2)
+
+
+def _fbwd_mlp_bwd(gelu, res, do):
+    x, w1, b1, w2 = res
+    dx, dw1, db1, dw2, db2 = _bwd_call(x, w1, b1, w2, do, gelu)
+    return (dx, dw1.astype(w1.dtype), db1.reshape(1, -1).astype(w1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(1, -1).astype(w2.dtype))
+
+
+_fbwd_mlp.defvjp(_fbwd_mlp_fwd, _fbwd_mlp_bwd)
+
+
 def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2,
-              gelu: str = "erf") -> jnp.ndarray:
+              gelu: str = "erf", impl: str = "fused") -> jnp.ndarray:
     """x: [..., D]; w1 [D, H], b1 [H], w2 [H, D], b2 [D] (any float dtype —
-    cast to x.dtype for the GEMMs, f32 accumulation). Returns [..., D]."""
+    cast to x.dtype for the GEMMs, f32 accumulation). Returns [..., D].
+
+    impl='fused': Pallas forward + Pallas single-kernel backward.
+    impl='fbwd': XLA dense forward (bit-identical to layers.Mlp 'dense'),
+    Pallas single-kernel backward — the forward keeps XLA's GEMM+GELU
+    fusion while the backward consolidates 4 GEMMs + GELU'/bias/weight
+    grads into one kernel with VMEM-resident f32 accumulators."""
     shape = x.shape
     D = shape[-1]
     H = w1.shape[1]
     assert D % 128 == 0 and H % 128 == 0, (D, H)
     x2 = x.reshape(-1, D)
     dt = x.dtype
-    out = _fused_mlp(x2, w1.astype(dt), b1.reshape(1, -1).astype(dt),
-                     w2.astype(dt), b2.reshape(1, -1).astype(dt), gelu)
+    fn = {"fbwd": _fbwd_mlp, "fres": _fres_mlp}.get(impl, _fused_mlp)
+    out = fn(x2, w1.astype(dt), b1.reshape(1, -1).astype(dt),
+             w2.astype(dt), b2.reshape(1, -1).astype(dt), gelu)
     return out.reshape(shape)

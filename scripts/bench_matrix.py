@@ -31,9 +31,12 @@ def main():
     if gelu == "gelu_tanh":  # legacy spelling
         gelu = "tanh"
     remat = len(sys.argv) > 7 and sys.argv[7] == "remat"
+    dec_mlp = None
+    if "+" in mlp:  # 'ENC+DEC', e.g. 'dense+fbwd'
+        mlp, dec_mlp = mlp.split("+", 1)
     mcfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl=attn,
                         mmixed_impl=mmixed, mlp_impl=mlp,
-                        remat_blocks=remat,
+                        dec_mlp_impl=dec_mlp, remat_blocks=remat,
                         vit=replace(ViTConfig(), gelu=gelu))
     cfg = PretrainConfig(model=mcfg, opt=OptimizerConfig(), batch_size=B)
     model = CAVMAEPretrain(mcfg)
@@ -52,7 +55,8 @@ def main():
         state, m = step(state, (a, v), rng, lr)
     float(jax.device_get(m["loss"]))
     dt = (time.perf_counter() - t0) / iters
-    print(f"B={B:3d} attn={attn:6s} mmixed={mmixed:6s} mlp={mlp:5s} "
+    mlp_desc = mlp if dec_mlp is None else f"{mlp}+{dec_mlp}"
+    print(f"B={B:3d} attn={attn:6s} mmixed={mmixed:6s} mlp={mlp_desc:5s} "
           f"gelu={gelu:4s} remat={int(remat)}: "
           f"{B / dt:7.1f} clips/s  {dt * 1000:7.1f} ms/step  "
           f"(compile+init {compile_t:.0f}s)")

@@ -81,6 +81,62 @@ def test_mlp_module_fused_matches_dense():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_fbwd_forward_bitwise_matches_dense_and_grads_match():
+    """'fbwd' runs the dense XLA forward verbatim (bit-identical outputs)
+    with the Pallas single-kernel backward (gradients equal to
+    reassociation tolerance)."""
+    from avsiam_tpu.models.layers import Mlp
+    rng = jax.random.PRNGKey(6)
+    x = jax.random.normal(rng, (2, 33, D))
+    dense = Mlp(D, H, jnp.float32, "erf", "dense")
+    params = dense.init(rng, x)
+
+    def loss(impl, p, x):
+        m = Mlp(D, H, jnp.float32, "erf", impl)
+        return jnp.sum(jnp.sin(m.apply(p, x)))
+
+    out_d = dense.apply(params, x)
+    out_f = Mlp(D, H, jnp.float32, "erf", "fbwd").apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_d))
+    gd = jax.jit(jax.grad(lambda p, x: loss("dense", p, x),
+                          argnums=(0, 1)))(params, x)
+    gf = jax.jit(jax.grad(lambda p, x: loss("fbwd", p, x),
+                          argnums=(0, 1)))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=2e-5, err_msg="fbwd grad")
+
+
+@pytest.mark.parametrize("impl", ["fbwd", "fres"])
+def test_hybrid_impls_grads_match_dense(impl):
+    """'fres' (Pallas fwd emitting the hpre residual + XLA bwd) and 'fbwd'
+    gradients match dense to float tolerance."""
+    from avsiam_tpu.models.layers import Mlp
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 33, D))
+    dense = Mlp(D, H, jnp.float32, "erf", "dense")
+    params = dense.init(rng, x)
+
+    def loss(impl_, p, x):
+        m = Mlp(D, H, jnp.float32, "erf", impl_)
+        return jnp.sum(jnp.sin(m.apply(p, x)))
+
+    out_d = dense.apply(params, x)
+    out_i = Mlp(D, H, jnp.float32, "erf", impl).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(out_d),
+                               atol=1e-5, rtol=1e-5)
+    gd = jax.jit(jax.grad(lambda p, x: loss("dense", p, x),
+                          argnums=(0, 1)))(params, x)
+    gi = jax.jit(jax.grad(lambda p, x: loss(impl, p, x),
+                          argnums=(0, 1)))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gi),
+                    jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=2e-5,
+                                   err_msg=f"{impl} grad")
+
+
 def test_mlp_remat_variants_bitwise_match_dense():
     """'remat_g'/'remat_all' change WHAT is saved for backward, not the math:
     forward outputs must be BIT-IDENTICAL to 'dense' and gradients equal to
