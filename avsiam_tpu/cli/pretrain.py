@@ -84,7 +84,8 @@ def main(argv=None):
     from avsiam_tpu.models.variants import pretrain_config
     model_cfg = pretrain_config(args.model, dtype=jnp_dtype(args.dtype),
                                 attn_impl=args.attn_impl,
-                                mmixed_impl=args.mmixed_impl)
+                                mmixed_impl=args.mmixed_impl,
+                                mlp_impl=args.mlp_impl)
     # the audio token grid follows --target_length (reference fixes 1024)
     model_cfg = replace(model_cfg, vit=replace(
         model_cfg.vit, audio_length=args.target_length))

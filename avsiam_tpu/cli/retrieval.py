@@ -70,7 +70,8 @@ def main(argv=None):
     from avsiam_tpu.models.variants import finetune_config
     model_cfg = finetune_config(args.model, label_dim=args.n_class,
                                 dtype=jnp_dtype(args.dtype),
-                                attn_impl=args.attn_impl)
+                                attn_impl=args.attn_impl,
+                                mlp_impl=args.mlp_impl)
     model_cfg = replace(model_cfg, vit=replace(
         model_cfg.vit, audio_length=args.target_length))
     ds = dataset_from_args(args, args.data_eval or args.data_val, train=False,

@@ -403,55 +403,60 @@ def _lane_masks(D: int):
 
 
 def _fwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int,
-                   save_stats: bool):
+                   save_stats: bool, sp: int = 1):
     # refs: [bias?], o, [stats_out]?  — stats are per-(row, head) softmax
     # max and 1/denom, packed on the LANE dim of a [1, 1, Np, 8] block
     # (head i's max at lane i, its 1/denom at lane hp+i: column stores, no
     # in-kernel transpose; trailing block dims (Np, 8) match the array so
     # Mosaic's (8,128)-divisibility rule is satisfied) and consumed by the
     # backward kernel, which then skips both N^2 reduces (rowmax, rowsum).
+    # sp = samples per program (see pallas_attention_qkv): the per-sample
+    # loop amortizes per-program cost at small N; each sample's dots and
+    # softmax are computed independently (no cross-sample FLOPs or masking).
     refs = list(refs)
     bias_ref = refs.pop(0) if len(refs) == (3 if save_stats else 2) else None
     if save_stats:
         o_ref, st_ref = refs
     else:
         (o_ref,) = refs
-    qs = qs_ref[0]
-    ks = ks_ref[0]
-    vs = vs_ref[0]
     hp = _LANE // D
-    bias_row = None if bias_ref is None else bias_ref[0]
-    acc = None
-    for i, m in enumerate(_lane_masks(D)):
-        qi = jnp.where(m, qs, jnp.zeros_like(qs))
-        s = jax.lax.dot_general(
-            qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if save_stats:
-            s = s * scale
-            if bias_row is not None:
-                s = s + bias_row
-            mx = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - mx)
-        else:
-            e = _softmax_e(s, bias_row, scale)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        vi = jnp.where(m, vs, jnp.zeros_like(vs))
-        oi = jnp.dot(e.astype(vs.dtype), vi,
-                     preferred_element_type=jnp.float32)
-        oi = oi * (1.0 / denom)
-        acc = oi if acc is None else acc + oi
-        if save_stats:
-            st_ref[0, 0, :, i:i + 1] = mx
-            st_ref[0, 0, :, hp + i:hp + i + 1] = 1.0 / denom
-    o_ref[0] = acc.astype(o_ref.dtype)
+    for sb in range(sp):
+        qs = qs_ref[sb]
+        ks = ks_ref[sb]
+        vs = vs_ref[sb]
+        bias_row = None if bias_ref is None else bias_ref[sb]
+        acc = None
+        for i, m in enumerate(_lane_masks(D)):
+            qi = jnp.where(m, qs, jnp.zeros_like(qs))
+            s = jax.lax.dot_general(
+                qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if save_stats:
+                s = s * scale
+                if bias_row is not None:
+                    s = s + bias_row
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - mx)
+            else:
+                e = _softmax_e(s, bias_row, scale)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            vi = jnp.where(m, vs, jnp.zeros_like(vs))
+            oi = jnp.dot(e.astype(vs.dtype), vi,
+                         preferred_element_type=jnp.float32)
+            oi = oi * (1.0 / denom)
+            acc = oi if acc is None else acc + oi
+            if save_stats:
+                st_ref[0, 0, :, i:i + 1] = mx
+                st_ref[0, 0, :, hp + i:hp + i + 1] = 1.0 / denom
+        o_ref[sb] = acc.astype(o_ref.dtype)
 
 
 def _bwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int,
-                   with_stats: bool):
+                   with_stats: bool, sp: int = 1):
     # refs: [bias?], [stats_in]?, do, dqkv — with_stats skips the rowmax
     # and rowsum N^2 reduce passes using the forward's saved statistics
     # (packed [1, 1, Np, 8]: head i's max at lane i, 1/denom at lane hp+i).
+    # sp: samples per program (sp > 1 excludes with_stats — small-N only).
     refs = list(refs)
     nbase = 2 + (1 if with_stats else 0)
     bias_ref = refs.pop(0) if len(refs) == nbase + 1 else None
@@ -460,19 +465,23 @@ def _bwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int,
     else:
         st_ref = None
         do_ref, dqkv_ref = refs
-    qs = qs_ref[0]
-    ks = ks_ref[0]
-    vs = vs_ref[0]
+    for sb in range(sp):
+        _bwd_tm_one(qs_ref[sb], ks_ref[sb], vs_ref[sb],
+                    None if bias_ref is None else bias_ref[sb], st_ref,
+                    do_ref[sb].astype(jnp.float32), dqkv_ref, sb,
+                    scale=scale, D=D)
+
+
+def _bwd_tm_one(qs, ks, vs, bias_row, st_ref, do, dqkv_ref, sb, *,
+                scale: float, D: int):
     hp = _LANE // D
-    do = do_ref[0].astype(jnp.float32)
-    bias_row = None if bias_ref is None else bias_ref[0]
     dq_acc = dk_acc = dv_acc = None
     for i, m in enumerate(_lane_masks(D)):
         qi = jnp.where(m, qs, jnp.zeros_like(qs))
         s = jax.lax.dot_general(
             qi, ks, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if with_stats:
+        if st_ref is not None:
             s = s * scale
             if bias_row is not None:
                 s = s + bias_row
@@ -503,35 +512,37 @@ def _bwd_kernel_tm(qs_ref, ks_ref, vs_ref, *refs, scale: float, D: int,
         dq_acc = dqi if dq_acc is None else dq_acc + dqi
         dk_acc = dki if dk_acc is None else dk_acc + dki
         dv_acc = dvi if dv_acc is None else dv_acc + dvi
-    dqkv_ref[0, 0] = dq_acc.astype(dqkv_ref.dtype)
-    dqkv_ref[1, 0] = dk_acc.astype(dqkv_ref.dtype)
-    dqkv_ref[2, 0] = dv_acc.astype(dqkv_ref.dtype)
+    dqkv_ref[0, sb] = dq_acc.astype(dqkv_ref.dtype)
+    dqkv_ref[1, sb] = dk_acc.astype(dqkv_ref.dtype)
+    dqkv_ref[2, sb] = dv_acc.astype(dqkv_ref.dtype)
 
 
-def _tm_specs(B, Np, C, with_bias):
+def _tm_specs(B, Np, C, with_bias, sp=1):
     lanes = C // _LANE
-    qs = pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
+    qs = pl.BlockSpec((sp, Np, _LANE), lambda b, j: (b, 0, j),
                       memory_space=pltpu.VMEM)
-    ks = pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, lanes + j),
+    ks = pl.BlockSpec((sp, Np, _LANE), lambda b, j: (b, 0, lanes + j),
                       memory_space=pltpu.VMEM)
-    vs = pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, 2 * lanes + j),
+    vs = pl.BlockSpec((sp, Np, _LANE), lambda b, j: (b, 0, 2 * lanes + j),
                       memory_space=pltpu.VMEM)
     specs = [qs, ks, vs]
     if with_bias:
-        specs.append(pl.BlockSpec((1, 1, Np), lambda b, j: (b, 0, 0),
+        specs.append(pl.BlockSpec((sp, 1, Np), lambda b, j: (b, 0, 0),
                                   memory_space=pltpu.VMEM))
     return specs
 
 
-def _pallas_fwd_tm(xqkv, bias, *, num_heads: int, save_stats: bool = False):
+def _pallas_fwd_tm(xqkv, bias, *, num_heads: int, save_stats: bool = False,
+                   sp: int = 1):
     B, Np, C3 = xqkv.shape
     C = C3 // 3
     D = C // num_heads
     scale = D ** -0.5
-    grid = (B, C // _LANE)
-    in_specs = _tm_specs(B, Np, C, bias is not None)
+    assert B % sp == 0 and (sp == 1 or not save_stats), (B, sp, save_stats)
+    grid = (B // sp, C // _LANE)
+    in_specs = _tm_specs(B, Np, C, bias is not None, sp)
     args = [xqkv, xqkv, xqkv] + ([bias] if bias is not None else [])
-    out_specs = pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
+    out_specs = pl.BlockSpec((sp, Np, _LANE), lambda b, j: (b, 0, j),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, Np, C), xqkv.dtype)
     if save_stats:
@@ -544,7 +555,7 @@ def _pallas_fwd_tm(xqkv, bias, *, num_heads: int, save_stats: bool = False):
         out_shape = (out_shape, stat_shape)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_tm, scale=scale, D=D,
-                          save_stats=save_stats),
+                          save_stats=save_stats, sp=sp),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -559,28 +570,29 @@ def _pallas_fwd_tm(xqkv, bias, *, num_heads: int, save_stats: bool = False):
     )(*args)
 
 
-def _pallas_bwd_tm(xqkv, bias, stats, do, *, num_heads: int):
+def _pallas_bwd_tm(xqkv, bias, stats, do, *, num_heads: int, sp: int = 1):
     B, Np, C3 = xqkv.shape
     C = C3 // 3
     D = C // num_heads
     scale = D ** -0.5
-    grid = (B, C // _LANE)
-    in_specs = _tm_specs(B, Np, C, bias is not None)
+    assert B % sp == 0 and (sp == 1 or stats is None), (B, sp)
+    grid = (B // sp, C // _LANE)
+    in_specs = _tm_specs(B, Np, C, bias is not None, sp)
     args = [xqkv, xqkv, xqkv] + ([bias] if bias is not None else [])
     if stats is not None:
         stat_spec = pl.BlockSpec((1, 1, Np, 8), lambda b, j: (b, j, 0, 0),
                                  memory_space=pltpu.VMEM)
         in_specs.append(stat_spec)
         args.append(stats)
-    in_specs.append(pl.BlockSpec((1, Np, _LANE), lambda b, j: (b, 0, j),
+    in_specs.append(pl.BlockSpec((sp, Np, _LANE), lambda b, j: (b, 0, j),
                                  memory_space=pltpu.VMEM))
     args.append(do)
     return pl.pallas_call(
         functools.partial(_bwd_kernel_tm, scale=scale, D=D,
-                          with_stats=stats is not None),
+                          with_stats=stats is not None, sp=sp),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((3, 1, Np, _LANE), lambda b, j: (0, b, 0, j),
+        out_specs=pl.BlockSpec((3, sp, Np, _LANE), lambda b, j: (0, b, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, B, Np, C), xqkv.dtype),
         compiler_params=_params(),
@@ -598,22 +610,23 @@ def _pallas_bwd_tm(xqkv, bias, stats, do, *, num_heads: int):
 _SAVE_STATS = os.environ.get("AVSIAM_ATTN_STATS", "0") == "1"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _pallas_attention_tm(xqkv, bias, num_heads):
-    return _pallas_fwd_tm(xqkv, bias, num_heads=num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pallas_attention_tm(xqkv, bias, num_heads, sp=1):
+    return _pallas_fwd_tm(xqkv, bias, num_heads=num_heads, sp=sp)
 
 
-def _pallas_attention_tm_fwd(xqkv, bias, num_heads):
-    if _SAVE_STATS and _SOFTMAX_IMPL == "exp":
+def _pallas_attention_tm_fwd(xqkv, bias, num_heads, sp=1):
+    if _SAVE_STATS and _SOFTMAX_IMPL == "exp" and sp == 1:
         out, stats = _pallas_fwd_tm(xqkv, bias, num_heads=num_heads,
                                     save_stats=True)
         return out, (xqkv, bias, stats)
-    return _pallas_fwd_tm(xqkv, bias, num_heads=num_heads), (xqkv, bias, None)
+    return (_pallas_fwd_tm(xqkv, bias, num_heads=num_heads, sp=sp),
+            (xqkv, bias, None))
 
 
-def _pallas_attention_tm_bwd(num_heads, residuals, do):
+def _pallas_attention_tm_bwd(num_heads, sp, residuals, do):
     xqkv, bias, stats = residuals
-    dqkv3 = _pallas_bwd_tm(xqkv, bias, stats, do, num_heads=num_heads)
+    dqkv3 = _pallas_bwd_tm(xqkv, bias, stats, do, num_heads=num_heads, sp=sp)
     # [3, B, Np, C] -> the [B, Np, 3C] cotangent: the ONE layout op of the
     # whole backward path
     B, Np = xqkv.shape[0], xqkv.shape[1]
@@ -628,15 +641,34 @@ def _sublane(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
+_SP_ROW_CAP = 2048  # max sp*Np rows per program (VMEM + unroll budget)
+
+
+def _samples_per_program(B: int, Np: int) -> int:
+    """Samples per grid program: 1 for long sequences (the decoder/full-
+    audio hot path keeps its exact round-2 kernel); for short sequences the
+    largest divisor of B with sp*Np <= _SP_ROW_CAP. Packing amortizes the
+    per-program cost that made per-sample programs lose to XLA at small N
+    (e.g. pass-2's N=179: sp=8 -> 1536-row programs, 8x fewer programs)."""
+    if Np >= 512:
+        return 1
+    best = 1
+    for sp in range(2, B + 1):
+        if B % sp == 0 and sp * Np <= _SP_ROW_CAP:
+            best = sp
+    return best
+
+
 def pallas_attention_qkv(xqkv: jnp.ndarray, num_heads: int,
-                         key_valid: Optional[jnp.ndarray] = None
-                         ) -> jnp.ndarray:
+                         key_valid: Optional[jnp.ndarray] = None,
+                         sp: Optional[int] = None) -> jnp.ndarray:
     """Layout-native fused attention on the raw qkv projection [B, N, 3C]
     (channel order (3, H, D), i.e. ``Dense(3C)`` output). Returns [B, N, C].
 
     Requires C % 128 == 0 and head_dim dividing 128 (ViT-B: D=64; the MAE
     decoder: D=32). Rows are padded to the dtype's sublane tile (16 for bf16
-    — e.g. 410 -> 416, not 512) with padding keys masked via the bias."""
+    — e.g. 410 -> 416, not 512) with padding keys masked via the bias.
+    sp=None auto-picks samples-per-program (see _samples_per_program)."""
     B, N, C3 = xqkv.shape
     C = C3 // 3
     assert C % _LANE == 0 and _LANE % (C // num_heads) == 0, (C, num_heads)
@@ -647,8 +679,16 @@ def pallas_attention_qkv(xqkv: jnp.ndarray, num_heads: int,
         bias = None
     else:
         bias = _bias_from_valid(key_valid, B, N, Np)
-    out = _pallas_attention_tm(xqkv, bias, num_heads)
+    if sp is None:
+        sp = _samples_per_program(B, Np)
+    out = _pallas_attention_tm(xqkv, bias, num_heads, sp)
     return out[:, :N]
+
+
+# Small-N (auto-dispatch) backend: 'xla' (round-2 measured winner at
+# N<=256 vs per-sample Pallas programs) | 'pallas' (the sample-packed
+# token-major kernel — sp>1 amortizes per-program cost).
+_SMALLN_IMPL = os.environ.get("AVSIAM_SMALLN", "xla")
 
 
 def attention_qkv(xqkv: jnp.ndarray, num_heads: int,
@@ -663,7 +703,7 @@ def attention_qkv(xqkv: jnp.ndarray, num_heads: int,
     tm_ok = C % _LANE == 0 and _LANE % D == 0
     if impl == "auto":
         if _HAS_PLTPU and jax.default_backend() == "tpu" and tm_ok:
-            impl = "xla" if N <= _XLA_SMALL_N else "pallas"
+            impl = (_SMALLN_IMPL if N <= _XLA_SMALL_N else "pallas")
         else:
             impl = "xla"
     if impl == "pallas" and tm_ok:

@@ -52,12 +52,14 @@ def main():
     # best measured single-chip parity configuration: size-dispatched
     # attention (Pallas token-major kernel for long sequences, XLA for short
     # — see ops/attention.py 'auto') + exact chunked mmixed encoder (40%
-    # fewer pass-1 FLOPs than the padded multichip-friendly form). B=64 is
-    # the measured batch sweet spot (BENCH_NOTES.md: 177 clips/s vs 156 at
-    # B=32, 163 at B=80; B=96 exceeds HBM); first compile ~7 min through the
-    # remote tunnel.
+    # fewer pass-1 FLOPs than the padded multichip-friendly form) + 'fres'
+    # MLP (Pallas forward keeping the hidden in VMEM and emitting the bf16
+    # pre-GELU residual; XLA backward — round 3: 198.3 clips/s vs 181.4
+    # dense, BENCH_NOTES.md). B=64 is the measured batch sweet spot
+    # (BENCH_NOTES.md: 177 clips/s vs 156 at B=32, 163 at B=80; B=96
+    # exceeds HBM); first compile ~7 min through the remote tunnel.
     model_cfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl="auto",
-                             mmixed_impl="exact")
+                             mmixed_impl="exact", mlp_impl="fres")
     cfg = PretrainConfig(model=model_cfg, opt=OptimizerConfig(lr=2e-4),
                          batch_size=B)
     model = CAVMAEPretrain(model_cfg)

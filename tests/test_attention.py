@@ -120,6 +120,41 @@ def test_token_major_qkv_matches_separate():
                                    err_msg=f"N={N} D={D} masked={masked}")
 
 
+def test_sample_packed_matches_sp1():
+    """sp>1 (samples-per-program packing for small N) must be bit-identical
+    to sp=1 in forward and match in gradients — the per-sample loop computes
+    the same dots in the same order, only grouped into fewer programs."""
+    from avsiam_tpu.ops.attention import (_samples_per_program,
+                                          pallas_attention_qkv)
+
+    assert _samples_per_program(64, 192) == 8
+    assert _samples_per_program(13, 144) == 13
+    assert _samples_per_program(64, 720) == 1
+    rng = jax.random.PRNGKey(9)
+    B, N, H, D = 8, 177, 2, 64
+    C = H * D
+    xqkv = jax.random.normal(rng, (B, N, 3 * C))
+    valid = jax.random.uniform(rng, (B, N)) > 0.3
+    for masked in (False, True):
+        kv = valid if masked else None
+        ref = pallas_attention_qkv(xqkv, H, key_valid=kv, sp=1)
+        for sp in (2, 4, 8):
+            got = pallas_attention_qkv(xqkv, H, key_valid=kv, sp=sp)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(ref),
+                err_msg=f"sp={sp} masked={masked}")
+
+        def loss(xqkv, sp):
+            return jnp.sum(pallas_attention_qkv(xqkv, H, key_valid=kv,
+                                                sp=sp) ** 2)
+
+        g1 = jax.grad(loss)(xqkv, 1)
+        g8 = jax.grad(loss)(xqkv, 8)
+        np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"grad masked={masked}")
+
+
 def test_token_major_saved_stats_match_recompute():
     """The backward with forward-saved softmax stats (m, 1/denom) must
     produce the same gradients as the recompute-everything backward — the
