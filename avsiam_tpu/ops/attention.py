@@ -641,7 +641,8 @@ def _sublane(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
-_SP_ROW_CAP = 2048  # max sp*Np rows per program (VMEM + unroll budget)
+# max sp*Np rows per program (VMEM + unroll budget); env knob for A/B runs
+_SP_ROW_CAP = int(os.environ.get("AVSIAM_SP_ROWS", "2048"))
 
 
 def _samples_per_program(B: int, Np: int) -> int:

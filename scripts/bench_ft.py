@@ -1,6 +1,6 @@
 """Benchmark one finetune-step configuration on the current accelerator.
 
-Usage: python scripts/bench_ft.py [B] [FTMODE] [ITERS]
+Usage: python scripts/bench_ft.py [B] [FTMODE] [ITERS] [MLP]
 Prints one line: config + clips/s + ms/step. The work unit is the reference
 FT step (stochastic-routed mm_grad loss, 3-group Adam,
 traintest_ft_base.py:131-175) on ViT-B at full input geometry.
@@ -21,7 +21,9 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     ftmode = sys.argv[2] if len(sys.argv) > 2 else "mm_grad"
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    mcfg = CAVMAEFTConfig(dtype=jnp.bfloat16, attn_impl="auto")
+    mlp = sys.argv[4] if len(sys.argv) > 4 else "dense"
+    mcfg = CAVMAEFTConfig(dtype=jnp.bfloat16, attn_impl="auto",
+                          mlp_impl=mlp)
     cfg = FinetuneConfig(model=mcfg, opt=OptimizerConfig(lr=1e-4),
                          batch_size=B, ftmode=ftmode)
     model = CAVMAEFinetune(mcfg)
@@ -42,7 +44,7 @@ def main():
         state, m = step(state, (a, v, y), rng, lr)
     float(jax.device_get(m["loss"]))
     dt = (time.perf_counter() - t0) / iters
-    print(f"FT B={B:3d} mode={ftmode}: {B / dt:7.1f} clips/s "
+    print(f"FT B={B:3d} mode={ftmode} mlp={mlp}: {B / dt:7.1f} clips/s "
           f"{dt * 1000:7.1f} ms/step  (compile+init {compile_t:.0f}s)")
 
 

@@ -166,3 +166,40 @@ def test_mlp_remat_variants_bitwise_match_dense():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=2e-5,
                                        err_msg=f"{impl} grad")
+
+
+def test_fres_mlp_under_dp_tp_mesh():
+    """'fres' (the bench-default Pallas-forward MLP) must stay correct when
+    its inputs arrive sharded from a DP x TP mesh: GSPMD has no partitioning
+    rule for the pallas_call, so it must resolve the shardings (gathering as
+    needed) without changing values or gradients vs the unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avsiam_tpu.parallel.mesh import make_mesh
+    from avsiam_tpu.configs import MeshConfig
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(7), jnp.float32)
+    x = jnp.tile(x[None], (8, 1, 1))  # [8, 67, D] so 'data' divides rows
+
+    def loss(x, w1, b1, w2, b2):
+        y = fused_mlp(x, w1, b1, w2, b2, gelu="erf", impl="fres")
+        return jnp.sum(jnp.sin(y))
+
+    ref_val = loss(x, w1, b1, w2, b2)
+    ref_gr = jax.grad(loss, argnums=(1, 3))(x, w1, b1, w2, b2)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    w1s = jax.device_put(w1, NamedSharding(mesh, P(None, "model")))
+    w2s = jax.device_put(w2, NamedSharding(mesh, P("model", None)))
+    b1s = jax.device_put(b1, NamedSharding(mesh, P()))
+    b2s = jax.device_put(b2, NamedSharding(mesh, P()))
+    with mesh:
+        val = jax.jit(loss)(xs, w1s, b1s, w2s, b2s)
+        gr = jax.jit(jax.grad(loss, argnums=(1, 3)))(xs, w1s, b1s, w2s, b2s)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+    # atol 1e-4: dw sums 536 rows; the sharded run reduces in a different
+    # order (per-shard partials + psum), so last-bit drift accumulates
+    for name, a, b in zip(("dw1", "dw2"), gr, ref_gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
