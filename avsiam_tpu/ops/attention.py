@@ -647,17 +647,24 @@ _SP_ROW_CAP = int(os.environ.get("AVSIAM_SP_ROWS", "2048"))
 
 def _samples_per_program(B: int, Np: int) -> int:
     """Samples per grid program: 1 for long sequences (the decoder/full-
-    audio hot path keeps its exact round-2 kernel); for short sequences the
-    largest divisor of B with sp*Np <= _SP_ROW_CAP. Packing amortizes the
+    audio hot path keeps its exact round-2 kernel); for short sequences as
+    many samples as fit sp*Np <= _SP_ROW_CAP. Packing amortizes the
     per-program cost that made per-sample programs lose to XLA at small N
-    (e.g. pass-2's N=179: sp=8 -> 1536-row programs, 8x fewer programs)."""
+    (e.g. the MAE encoder's N=128 at sp=16 -> 2048-row programs, 16x fewer
+    programs). Prefers an exact divisor of B (zero batch padding) when it
+    reaches the same program count or is within 2x of the cap; otherwise
+    returns a non-divisor sp and the caller pads the batch (the mmixed
+    chunks' prime B=13 would otherwise never pack)."""
     if Np >= 512:
         return 1
-    best = 1
-    for sp in range(2, B + 1):
-        if B % sp == 0 and sp * Np <= _SP_ROW_CAP:
-            best = sp
-    return best
+    cap_sp = max(1, min(B, _SP_ROW_CAP // Np))
+    if cap_sp == 1:
+        return 1
+    best_div = max(d for d in range(1, cap_sp + 1) if B % d == 0)
+    n_prog = -(-B // cap_sp)
+    if B // best_div <= n_prog or best_div * 2 >= cap_sp:
+        return best_div
+    return -(-B // n_prog)  # evens programs out, minimal batch padding
 
 
 def pallas_attention_qkv(xqkv: jnp.ndarray, num_heads: int,
@@ -682,8 +689,17 @@ def pallas_attention_qkv(xqkv: jnp.ndarray, num_heads: int,
         bias = _bias_from_valid(key_valid, B, N, Np)
     if sp is None:
         sp = _samples_per_program(B, Np)
+    Bp = -(-B // sp) * sp
+    if Bp != B:
+        # non-divisor sp: pad the batch. Padding samples see bias 0 (all
+        # keys "valid"), so their softmax is a well-defined uniform over
+        # zero scores — no NaN to leak into the (discarded) pad rows of
+        # either the forward output or the backward's recomputed e.
+        xqkv = jnp.pad(xqkv, ((0, Bp - B), (0, 0), (0, 0)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, Bp - B), (0, 0), (0, 0)))
     out = _pallas_attention_tm(xqkv, bias, num_heads, sp)
-    return out[:, :N]
+    return out[:B, :N]
 
 
 # Small-N (auto-dispatch) backend: 'xla' (round-2 measured winner at

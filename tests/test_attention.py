@@ -127,9 +127,10 @@ def test_sample_packed_matches_sp1():
     from avsiam_tpu.ops.attention import (_samples_per_program,
                                           pallas_attention_qkv)
 
-    assert _samples_per_program(64, 192) == 8
-    assert _samples_per_program(13, 144) == 13
-    assert _samples_per_program(64, 720) == 1
+    assert _samples_per_program(64, 192) == 8   # divisor, zero padding
+    assert _samples_per_program(13, 144) == 13  # whole batch in one program
+    assert _samples_per_program(13, 160) == 7   # prime B: pad 13 -> 14
+    assert _samples_per_program(64, 720) == 1   # long sequences: unpacked
     rng = jax.random.PRNGKey(9)
     B, N, H, D = 8, 177, 2, 64
     C = H * D
@@ -138,7 +139,7 @@ def test_sample_packed_matches_sp1():
     for masked in (False, True):
         kv = valid if masked else None
         ref = pallas_attention_qkv(xqkv, H, key_valid=kv, sp=1)
-        for sp in (2, 4, 8):
+        for sp in (2, 4, 8, 3, 5):  # 3, 5: non-divisor -> batch padding
             got = pallas_attention_qkv(xqkv, H, key_valid=kv, sp=sp)
             np.testing.assert_array_equal(
                 np.asarray(got), np.asarray(ref),
@@ -149,10 +150,13 @@ def test_sample_packed_matches_sp1():
                                                 sp=sp) ** 2)
 
         g1 = jax.grad(loss)(xqkv, 1)
-        g8 = jax.grad(loss)(xqkv, 8)
-        np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
-                                   atol=1e-4, rtol=1e-4,
-                                   err_msg=f"grad masked={masked}")
+        for sp in (8, 5):  # divisor and batch-padded
+            gs = jax.grad(loss)(xqkv, sp)
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(g1),
+                                       atol=1e-4, rtol=1e-4,
+                                       err_msg=f"grad sp={sp} "
+                                               f"masked={masked}")
+            assert np.isfinite(np.asarray(gs)).all()
 
 
 def test_token_major_saved_stats_match_recompute():
