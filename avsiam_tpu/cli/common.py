@@ -11,6 +11,19 @@ from avsiam_tpu.configs import AudioConfig, OptimizerConfig
 from avsiam_tpu.data.dataset import AVDataset
 
 
+def apply_platform_override():
+    """Honor AVSIAM_PLATFORM=cpu|tpu|... before any device is touched.
+
+    Needed because some environments force a platform programmatically at
+    interpreter start (a sitecustomize hook), which plain JAX_PLATFORMS env
+    vars cannot undo — jax.config.update before first device use can. Called
+    at the top of every CLI main."""
+    plat = os.environ.get("AVSIAM_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
     """Flag names mirror the reference runners (run_cavmae_pretrain_base.py:
     47-105 uses dashed names; run_cavmae_ft_base.py:62-141 underscored).

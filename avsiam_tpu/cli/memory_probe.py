@@ -17,6 +17,8 @@ def count_params(tree) -> int:
 
 
 def main(argv=None):
+    from avsiam_tpu.cli.common import apply_platform_override
+    apply_platform_override()
     p = argparse.ArgumentParser("avsiam-tpu memory probe")
     p.add_argument("--model", type=str, default="cav-mae-base")
     p.add_argument("--batch-size", type=int, default=8)

@@ -78,6 +78,8 @@ def _load_init_params(args, cfg: PretrainConfig):
 
 
 def main(argv=None):
+    from avsiam_tpu.cli.common import apply_platform_override
+    apply_platform_override()
     args = build_parser().parse_args(argv)
     dump_args(args, args.exp_dir)
     from avsiam_tpu.configs import replace

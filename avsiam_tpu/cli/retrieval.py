@@ -63,6 +63,8 @@ def extract_features(args, model_cfg: CAVMAEFTConfig, params, ds,
 
 
 def main(argv=None):
+    from avsiam_tpu.cli.common import apply_platform_override
+    apply_platform_override()
     args = build_parser().parse_args(argv)
     import jax
     import jax.numpy as jnp

@@ -154,21 +154,30 @@ class AVDataset:
     @staticmethod
     def _sample_rng(rng, i: int) -> np.random.RandomState:
         """Per-sample RandomState. When ``rng`` is an int seed, the stream is
-        derived from (seed, sample index) — ORDER-INDEPENDENT, so any rank
+        derived from (seed, key) — ORDER-INDEPENDENT, so any rank
         sharding / batch order reassembles bit-identical batches (torch's
         sequential per-worker streams make runs differ across world sizes;
         keyed derivation is the jax.random.fold_in design applied host-side).
+        The key is the sample's global epoch POSITION when the caller
+        provides one (``batch(..., positions=)``): weighted class-balanced
+        sampling draws the same dataset index several times per epoch, and
+        position keying gives each occurrence an independent augmentation
+        stream (frame pick, decode aug) like torch's sequential stream does
+        — index keying would train oversampled clips on one frozen draw.
         A RandomState is passed through unchanged (legacy sequential mode)."""
         if isinstance(rng, (int, np.integer)):
             return np.random.RandomState(
                 (int(rng) * 1000003 + int(i) * 97 + 7) % (2 ** 31))
         return rng
 
-    def batch(self, indices, rng, frames_per_sample: int = 1):
+    def batch(self, indices, rng, frames_per_sample: int = 1,
+              positions=None):
         """Assemble a host batch. frames_per_sample: 1 (random train frame) or
         num_frames (eval). ``rng``: an int seed (per-sample derived streams,
-        see _sample_rng) or a RandomState (sequential). Returns (wav [B,n],
-        frames u8 [B,T,H,W,3], labels [B,C]).
+        see _sample_rng) or a RandomState (sequential). ``positions``: the
+        samples' global epoch positions — when given, they key the per-sample
+        streams instead of the dataset indices (see _sample_rng). Returns
+        (wav [B,n], frames u8 [B,T,H,W,3], labels [B,C]).
 
         Waveforms are zero-padded to a fixed sample count and the true sample
         counts are returned so the device transform can zero fbank rows
@@ -177,8 +186,9 @@ class AVDataset:
         silence. Returns (wav, frames, labels, wav_len[B] int32)."""
         wavs, frames, labels = [], [], []
         lens = []
-        for i in indices:
-            srng = self._sample_rng(rng, int(i))
+        for j, i in enumerate(indices):
+            key = int(positions[j]) if positions is not None else int(i)
+            srng = self._sample_rng(rng, key)
             s = self.get(int(i), srng)
             lens.append(s.wav_len)
             if frames_per_sample == 1:

@@ -71,25 +71,35 @@ class Prefetcher:
 
 
 def host_batches(dataset, index_batches, seed: int,
-                 frames_per_sample: int = 1) -> Iterator:
+                 frames_per_sample: int = 1,
+                 position_batches=None) -> Iterator:
     """Generator of host numpy batches from an AVDataset + list of index
     arrays. Passes the int seed through so the dataset derives a per-sample
-    stream from (seed, index) — batches are then independent of rank
-    sharding and assembly order (see AVDataset._sample_rng)."""
-    for idx in index_batches:
-        yield dataset.batch(idx, seed, frames_per_sample=frames_per_sample)
+    stream from (seed, epoch position) — batches are then independent of
+    rank sharding and assembly order, and repeated weighted-sampling draws
+    of the same index get independent streams (AVDataset._sample_rng)."""
+    if position_batches is None:
+        for idx in index_batches:
+            yield dataset.batch(idx, seed,
+                                frames_per_sample=frames_per_sample)
+    else:
+        for idx, pos in zip(index_batches, position_batches):
+            yield dataset.batch(idx, seed,
+                                frames_per_sample=frames_per_sample,
+                                positions=pos)
 
 
 def device_loader(dataset, index_batches, transform: Callable,
                   rng_key: jax.Array, seed: int = 0,
                   frames_per_sample: int = 1, sharding=None,
-                  train: bool = True) -> Iterator:
+                  train: bool = True, position_batches=None) -> Iterator:
     """Full pipeline: host batches -> prefetch/H2D -> fused device transform.
 
     Yields (fbank, image, labels) device arrays.
     """
     it = Prefetcher(host_batches(dataset, index_batches, seed,
-                                 frames_per_sample), sharding=sharding)
+                                 frames_per_sample, position_batches),
+                    sharding=sharding)
     for i, batch in enumerate(it):
         if train:
             k = jax.random.fold_in(rng_key, i)

@@ -51,18 +51,28 @@ def _rank_subsample(idx: np.ndarray, world: int, rank: int,
 
 def shuffled_epoch_indices(n: int, epoch: int, seed: int = 0,
                            world: int = 1, rank: int = 0,
-                           global_batch: Optional[int] = None) -> np.ndarray:
+                           global_batch: Optional[int] = None,
+                           with_positions: bool = False):
     rng = np.random.RandomState(seed + epoch)
     idx = rng.permutation(n)
     total = -(-n // world) * world
     if total > n:
         idx = np.concatenate([idx, idx[: total - n]])
-    return _rank_subsample(idx, world, rank, global_batch)
+    out = _rank_subsample(idx, world, rank, global_batch)
+    if not with_positions:
+        return out
+    # the sample's position in the GLOBAL epoch sequence — world-invariant
+    # (rank subsampling slices both arrays identically), unique per draw;
+    # used to key per-sample augmentation RNG so repeated draws of the same
+    # dataset index (weighted sampling) get independent augmentation streams
+    pos = _rank_subsample(np.arange(len(idx)), world, rank, global_batch)
+    return out, pos
 
 
 def weighted_indices(weights: np.ndarray, num_samples: int,
                      epoch: int, seed: int = 0, world: int = 1, rank: int = 0,
-                     global_batch: Optional[int] = None) -> np.ndarray:
+                     global_batch: Optional[int] = None,
+                     with_positions: bool = False):
     """Global class-balanced draw, identical on every rank (the RNG is seeded
     only by seed+epoch), then the rank subsample — DistributedProxySampler
     (yb_sampler.py:25-39) wrapping WeightedRandomSampler."""
@@ -73,7 +83,11 @@ def weighted_indices(weights: np.ndarray, num_samples: int,
     total = -(-num_samples // world) * world
     if total > num_samples:
         idx = np.concatenate([idx, idx[: total - num_samples]])
-    return _rank_subsample(idx, world, rank, global_batch)
+    out = _rank_subsample(idx, world, rank, global_batch)
+    if not with_positions:
+        return out
+    pos = _rank_subsample(np.arange(len(idx)), world, rank, global_batch)
+    return out, pos
 
 
 def eval_shard_indices(n: int, world: int = 1, rank: int = 0) -> np.ndarray:

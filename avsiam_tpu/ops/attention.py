@@ -616,7 +616,11 @@ def _pallas_attention_tm(xqkv, bias, num_heads, sp=1):
 
 
 def _pallas_attention_tm_fwd(xqkv, bias, num_heads, sp=1):
-    if _SAVE_STATS and _SOFTMAX_IMPL == "exp" and sp == 1:
+    # stats packing puts head i's max at lane i and 1/denom at lane hp+i of
+    # an 8-lane block, so it only fits 2*hp <= 8, i.e. head_dim >= 32
+    # (ViT-B D=64, decoder D=32; D=16 would overflow the block)
+    hp = _LANE // ((xqkv.shape[-1] // 3) // num_heads)
+    if _SAVE_STATS and _SOFTMAX_IMPL == "exp" and sp == 1 and 2 * hp <= 8:
         out, stats = _pallas_fwd_tm(xqkv, bias, num_heads=num_heads,
                                     save_stats=True)
         return out, (xqkv, bias, stats)

@@ -129,7 +129,11 @@ def _ln_bwd_kernel(x_ref, dy_ref, scale_ref, dx_ref, dg_ref, db_ref, *,
 
 def _ln_bwd_pallas(x2, dy2, scale, eps):
     R, C = x2.shape
-    tile = min(_ROW_TILE, ((R + 7) // 8) * 8)
+    # round the row tile to the dtype's sublane (16 for bf16, 8 for f32):
+    # a tile that exceeds R without matching the tiling multiple is an
+    # invalid block spec under Mosaic
+    sub = 16 if x2.dtype == jnp.bfloat16 else 8
+    tile = min(_ROW_TILE, ((R + sub - 1) // sub) * sub)
     grid = (pl.cdiv(R, tile),)
     kernel = functools.partial(_ln_bwd_kernel, eps=eps, rows=R,
                                row_tile=tile)

@@ -441,6 +441,7 @@ def fused_mlp(x: jnp.ndarray, w1, b1, w2, b2,
     assert D % 128 == 0 and H % 128 == 0, (D, H)
     x2 = x.reshape(-1, D)
     dt = x.dtype
+    assert impl in ("fused", "fbwd", "fres"), impl
     fn = {"fbwd": _fbwd_mlp, "fres": _fres_mlp}.get(impl, _fused_mlp)
     out = fn(x2, w1.astype(dt), b1.reshape(1, -1).astype(dt),
              w2.astype(dt), b2.reshape(1, -1).astype(dt), gelu)

@@ -57,13 +57,17 @@ def setup_rank0_printing(force: bool = False):
     The wrap is installed on EVERY rank (as the reference does), so
     ``print(..., force=True)`` is valid everywhere: the main process prints
     everything, other ranks print only forced messages."""
-    builtin_print = builtins.print
+    # idempotent: a second call must not nest wrappers — the outer wrap
+    # would pop force=True and forward force=False to the inner one,
+    # silencing forced messages on non-main ranks
+    builtin_print = getattr(builtins.print, "_avsiam_inner", builtins.print)
     main = is_main_process()
 
     def print_rank0(*args, **kwargs):
         if kwargs.pop("force", False) or force or main:
             builtin_print(*args, **kwargs)
 
+    print_rank0._avsiam_inner = builtin_print
     builtins.print = print_rank0
 
 

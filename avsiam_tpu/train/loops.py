@@ -159,15 +159,21 @@ def _epoch_loader(ds: AVDataset, cfg_batch: int, epoch: int, seed: int,
         assert cfg_batch % pc == 0, (
             f"global batch {cfg_batch} not divisible by process count {pc}")
         if weights is not None:
-            idx = weighted_indices(weights, n, epoch, seed, world=pc, rank=pi,
-                                   global_batch=cfg_batch)
+            idx, pos = weighted_indices(weights, n, epoch, seed, world=pc,
+                                        rank=pi, global_batch=cfg_batch,
+                                        with_positions=True)
         else:
-            idx = shuffled_epoch_indices(n, epoch, seed, world=pc, rank=pi,
-                                         global_batch=cfg_batch)
+            idx, pos = shuffled_epoch_indices(n, epoch, seed, world=pc,
+                                              rank=pi, global_batch=cfg_batch,
+                                              with_positions=True)
+        # positions (global epoch order) key per-sample augmentation RNG so
+        # weighted sampling's repeated draws of one clip stay independent
         return device_loader(ds, batched(idx, local_batch, drop_last=True),
                              transform, rng, seed=seed + epoch,
                              frames_per_sample=frames_per_sample,
-                             sharding=sharding, train=True)
+                             sharding=sharding, train=True,
+                             position_batches=batched(pos, local_batch,
+                                                      drop_last=True))
     else:
         # each host loads its contiguous padded slab; gathered outputs are
         # concatenated in process order and trimmed (SequentialDistributed-

@@ -101,7 +101,7 @@ def map_ops(argv):
         txt = f.read()
     defs, comps = index_hlo(txt)
     byname = load_trace_optimes()
-    n_steps = 3  # profile_step captures 3 steps
+    n_steps = int(os.environ.get("TRACE_STEPS", "3"))  # match profile_step.py
     print(f"trace ops: {len(byname)}, hlo defs: {len(defs)}")
     for name, ms in sorted(byname.items(), key=lambda kv: -kv[1])[:K]:
         body = defs.get(name)
@@ -132,7 +132,7 @@ def by_module(argv):
         txt = f.read()
     defs, _ = index_hlo(txt)
     byname = load_trace_optimes()
-    n_steps = 3
+    n_steps = int(os.environ.get("TRACE_STEPS", "3"))
     groups = collections.defaultdict(float)
     detail = collections.defaultdict(lambda: collections.defaultdict(float))
     for name, ms in byname.items():

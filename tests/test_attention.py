@@ -162,7 +162,12 @@ def test_sample_packed_matches_sp1():
 def test_token_major_saved_stats_match_recompute():
     """The backward with forward-saved softmax stats (m, 1/denom) must
     produce the same gradients as the recompute-everything backward — the
-    stats only skip the rowmax/rowsum reduce passes, not any math."""
+    stats only skip the rowmax/rowsum reduce passes, not any math.
+
+    sp is pinned to 1: stats saving only engages on unpacked programs (the
+    production sp=1 shapes are the decoder's 720 and full audio's 512), and
+    auto-sp would pick sp=2 at these test shapes, silently disabling the
+    stats path and comparing the recompute backward against itself."""
     import importlib
     att = importlib.import_module("avsiam_tpu.ops.attention")
 
@@ -173,12 +178,17 @@ def test_token_major_saved_stats_match_recompute():
         valid = (jax.random.uniform(rng, (2, N)) > 0.3) if masked else None
 
         def loss(xqkv):
-            return jnp.sum(att.attention_qkv(xqkv, H, key_valid=valid,
-                                             impl="pallas") ** 2)
+            return jnp.sum(att.pallas_attention_qkv(
+                xqkv, H, key_valid=valid, sp=1) ** 2)
 
         saved = att._SAVE_STATS
         try:
             att._SAVE_STATS = True
+            # guard against a vacuous self-comparison: the stats path must
+            # actually engage at this (sp=1, D>=32) configuration
+            _, (_, _, stats) = att._pallas_attention_tm_fwd(
+                jnp.asarray(xqkv, jnp.float32), None, H, 1)
+            assert stats is not None, "stats path did not engage"
             g_stats = jax.grad(loss)(xqkv)
             att._SAVE_STATS = False
             g_rec = jax.grad(loss)(xqkv)

@@ -246,3 +246,48 @@ def test_gen_weights_balances_rare_classes(tmp_path, label_csv):
     idx = weighted_indices(w, 2000, epoch=0)
     frac_rare = (idx == 9).mean()
     assert 0.4 < frac_rare < 0.6
+
+
+def test_position_keyed_rng_decorrelates_weighted_duplicates(json_index,
+                                                             label_csv):
+    """Class-balanced (weighted) sampling draws the same clip several times
+    per epoch; position-keyed per-sample RNG must give each occurrence an
+    independent augmentation stream (torch WeightedRandomSampler semantics),
+    while index-keyed calls (no positions) stay bit-reproducible."""
+    cfg = AudioConfig()
+    ds = AVDataset(json_index, cfg, label_csv=label_csv, mode="train",
+                   frame_source="synthetic", im_res=32)
+    dup = [0, 0, 0, 0]
+    # no positions: all duplicates share the (seed, index) stream
+    _, f_same, _, _ = ds.batch(dup, 7)
+    assert all(np.array_equal(f_same[0], f_same[k]) for k in range(4))
+    # positions: occurrences draw independent random frames
+    _, f_pos, _, _ = ds.batch(dup, 7, positions=np.arange(4))
+    assert any(not np.array_equal(f_pos[0], f_pos[k]) for k in range(1, 4))
+    # reproducible: same positions -> same batch
+    _, f_pos2, _, _ = ds.batch(dup, 7, positions=np.arange(4))
+    assert np.array_equal(f_pos, f_pos2)
+
+
+def test_sampler_positions_are_world_invariant():
+    """with_positions: rank blocks must carry the GLOBAL epoch positions, so
+    reassembling rank batches reproduces the world=1 stream exactly."""
+    n, B = 24, 8
+    idx1, pos1 = shuffled_epoch_indices(n, 3, 5, world=1, rank=0,
+                                        global_batch=B, with_positions=True)
+    assert np.array_equal(pos1, np.arange(len(idx1)))
+    parts = [shuffled_epoch_indices(n, 3, 5, world=4, rank=r, global_batch=B,
+                                    with_positions=True) for r in range(4)]
+    # reassemble global batches from rank blocks: [r0 | r1 | r2 | r3]
+    lb = B // 4
+    for k in range(n // B):
+        got_idx = np.concatenate(
+            [p[0][k * lb:(k + 1) * lb] for p in parts])
+        got_pos = np.concatenate(
+            [p[1][k * lb:(k + 1) * lb] for p in parts])
+        assert np.array_equal(got_idx, idx1[k * B:(k + 1) * B])
+        assert np.array_equal(got_pos, pos1[k * B:(k + 1) * B])
+    w = np.ones(n)
+    wi, wp = weighted_indices(w, n, 3, 5, world=1, rank=0, global_batch=B,
+                              with_positions=True)
+    assert len(wi) == len(wp) and np.array_equal(wp, np.arange(len(wi)))
