@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CSV of per-sample balance weights (with --bal)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest train_state checkpoint")
+    p.add_argument("--parity_optimizer", type=ast.literal_eval, default=True,
+                   help="gated Adam reproducing DDP unused-param skip "
+                        "semantics under mm_grad routing (False = plain "
+                        "optax: faster, non-parity dynamics)")
     return p
 
 
@@ -99,6 +103,7 @@ def main(argv=None):
         freeze_base=bool(args.freeze_base), ftmode=args.ftmode,
         ftmode_test=args.ftmode_test,
         loss=args.loss, metrics=args.metrics, label_smooth=args.label_smooth,
+        parity_optimizer=bool(args.parity_optimizer),
         n_print_steps=args.n_print_steps, seed=args.seed,
         exp_dir=args.exp_dir)
     nf = model_cfg.num_eval_frames

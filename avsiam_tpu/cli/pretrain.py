@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_mode", type=str, default="unstructured",
                    choices=["unstructured", "time", "freq", "tf"])
     p.add_argument("--mmixed_impl", type=str, default="exact",
-                   choices=["padded", "exact", "bucketed", "packed"])
+                   choices=["padded", "exact", "bucketed", "packed", "tconcat"])
     p.add_argument("--pretrain_path", type=str, default="None")
     # linear-probe datasets (the reference builds separate AS-20K loaders,
     # run_cavmae_pretrain_base.py:146-163)

@@ -218,8 +218,13 @@ class FinetuneConfig:
     ftmode_test: Optional[str] = None
     # torch-parity optimizer: per-leaf gated Adam reproducing
     # find_unused_parameters skip semantics under stochastic loss routing
-    # (per-leaf step counts, frozen moments for untouched branches)
-    parity_optimizer: bool = False
+    # (per-leaf step counts, frozen moments for untouched branches).
+    # DEFAULT ON: with plain optax, branches unselected by mm_grad routing
+    # would still get weight decay + stale-momentum Adam updates every step,
+    # while the reference (DDP find_unused_parameters + set_to_none grads)
+    # skips them entirely. False = plain masked-free optax (faster, one
+    # fused update, non-parity dynamics for mm_grad).
+    parity_optimizer: bool = True
     loss: str = "BCE"  # 'BCE' | 'CE'
     metrics: str = "mAP"  # 'mAP' | 'acc'
     label_smooth: float = 0.1

@@ -42,21 +42,50 @@ class Prefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sharding = sharding
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for item in it:
+                    if self._stop.is_set():
+                        return
                     if self._sharding is not None:
                         item = jax.tree_util.tree_map(
                             lambda x: _put_batch(x, self._sharding), item)
-                    self._q.put(item)
+                    # bounded put that notices close(): a consumer that
+                    # stops early (max_steps_per_epoch, divergence abort)
+                    # would otherwise leave this thread blocked forever,
+                    # pinning ~depth decoded/device batches
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
             except BaseException as e:  # propagate to consumer
                 self._err = e
             finally:
-                self._q.put(self._DONE)
+                # the DONE sentinel must reach the consumer even when the
+                # queue is full (it still holds undrained items) — keep
+                # trying unless close() told us nobody is listening
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._DONE, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
+
+    def close(self):
+        """Unblock and stop the worker; drop any queued batches."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
 
     def __iter__(self):
         return self
@@ -100,9 +129,16 @@ def device_loader(dataset, index_batches, transform: Callable,
     it = Prefetcher(host_batches(dataset, index_batches, seed,
                                  frames_per_sample, position_batches),
                     sharding=sharding)
-    for i, batch in enumerate(it):
-        if train:
-            k = jax.random.fold_in(rng_key, i)
-            yield transform(k, *batch)
-        else:
-            yield transform(*batch)
+    try:
+        for i, batch in enumerate(it):
+            if train:
+                k = jax.random.fold_in(rng_key, i)
+                yield transform(k, *batch)
+            else:
+                yield transform(*batch)
+    finally:
+        # reached on normal exhaustion AND on GeneratorExit when the
+        # consumer breaks early (max_steps_per_epoch, divergence abort) —
+        # stops the prefetch thread instead of leaking it blocked on a
+        # full queue with device batches pinned
+        it.close()

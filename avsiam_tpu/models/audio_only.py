@@ -12,6 +12,7 @@ LN+Linear head. Init: xavier-uniform linears, normal(0.02) modality embed.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from avsiam_tpu.configs import ViTConfig
@@ -31,6 +32,7 @@ class CAVMAEFTAudio(nn.Module):
     tr_pos: bool = True  # pos embed trainable flag (init is sin-cos either way)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    mlp_impl: str = "dense"
 
     def setup(self):
         c = self.vit
@@ -47,7 +49,8 @@ class CAVMAEFTAudio(nn.Module):
             (1, 1, c.dim), jnp.float32)
         mk = lambda i, name: ModalityBlock(
             c.dim, c.num_heads, c.mlp_ratio, c.qkv_bias, c.block_ln_eps,
-            self.dtype, self.attn_impl, name=name)
+            self.dtype, self.attn_impl, gelu=c.gelu,
+            mlp_impl=self.mlp_impl, name=name)
         self.blocks_a = [mk(i, f"blocks_a_{i}")
                          for i in range(self.modality_specific_depth)]
         self.blocks_u = [mk(i, f"blocks_u_{i}")
@@ -69,7 +72,13 @@ class CAVMAEFTAudio(nn.Module):
                     blk(jnp.zeros((1, 1, self.vit.dim), self.dtype), m)
         a = a[:, None, :, :].transpose(0, 1, 3, 2)  # [B,1,F,T]
         a = self.patch_embed_a(a.astype(self.dtype))
-        a = a + self.pos_embed_a.astype(self.dtype)
+        # tr_pos=False freezes the sin-cos pos embed (audio_mdl.py's
+        # requires_grad=tr_pos); the param stays in the tree so torch
+        # checkpoint import/export shapes are unchanged
+        pos = self.pos_embed_a
+        if not self.tr_pos:
+            pos = jax.lax.stop_gradient(pos)
+        a = a + pos.astype(self.dtype)
         a = a + self.modality_a.astype(self.dtype)
         for blk in self.blocks_a:
             a = blk(a, None)

@@ -241,6 +241,10 @@ class CAVMAEPretrain(nn.Module):
         perm_a = jax.random.permutation(self.make_rng("perm"), B)
         perm_v = jax.random.permutation(self.make_rng("perm"), B)
 
+        assert c.mmixed_impl in (
+            "exact", "tconcat", "bucketed", "packed", "padded"), \
+            c.mmixed_impl  # no silent fallback: a typo'd impl must not
+        # quietly run (and get benchmarked as) the padded path
         if c.mmixed_impl == "exact":
             ca, cv = self._mmixed_exact(a, v, perm_a, perm_v, sizes, ratios)
         elif c.mmixed_impl == "tconcat":

@@ -63,7 +63,12 @@ def init_state(rng: jax.Array, model: CAVMAEFinetune, cfg: FinetuneConfig,
     variables = jax.jit(
         lambda r, a, v: model.init(r, a, v, cfg.ftmode, False))(rng, a, v)
     params = variables["params"]
-    if cfg.parity_optimizer:
+    # gated Adam is needed (and used by the step) only under mm_grad's
+    # stochastic routing: every other ftmode touches a STATIC param set each
+    # step, where plain Adam already matches torch for every touched param
+    # (the permanently-untouched heads decay under optax wd but are never
+    # read by that mode's forward/eval — unobservable)
+    if cfg.parity_optimizer and cfg.ftmode == "mm_grad":
         from avsiam_tpu.train import gated_adam
         opt = gated_adam.init(params)
     else:

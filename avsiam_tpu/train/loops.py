@@ -247,14 +247,17 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
     os.makedirs(os.path.join(cfg.exp_dir, "models"), exist_ok=True)
     from avsiam_tpu.utils.logging import MetricsLogger
     mlog = MetricsLogger(cfg.exp_dir)
-    result_rows: List[Dict] = []
-    progress: List[list] = []
+    result_rows, progress = _resume_history(cfg.exp_dir, start_epoch)
     start_time = time.time()
     best_loss, best_epoch = np.inf, 0
+    for r in result_rows:  # restore the best-ckpt decision state on resume
+        if r.get("eval_loss", np.inf) < best_loss:
+            best_loss, best_epoch = r["eval_loss"], int(r["epoch"])
     meters = {k: AverageMeter() for k in
               ("loss", "loss_mae_a", "loss_mae_v", "loss_c", "per_sample_time",
                "per_sample_data_time", "per_sample_dnn_time")}
-    global_step = 0
+    # continue the restored run's step numbering (metrics series alignment)
+    global_step = int(jax.device_get(state.step))
 
     for epoch in range(start_epoch, cfg.n_epochs + 1):
         for meter in meters.values():  # per-epoch reset (reference :256-264)
@@ -418,8 +421,12 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     from avsiam_tpu.utils.logging import MetricsLogger
     mlog = MetricsLogger(cfg.exp_dir)
     best_metric, best_epoch, non_improving = -np.inf, 0, 0
-    rows: List[Dict] = []
-    global_step = 0
+    rows, _ = _resume_history(cfg.exp_dir, start_epoch)
+    metric_key = "mAP" if cfg.metrics == "mAP" else "acc"
+    for r in rows:  # restore best-ckpt decision state on resume
+        if r.get(metric_key, -np.inf) > best_metric:
+            best_metric, best_epoch = r[metric_key], int(r["epoch"])
+    global_step = int(jax.device_get(state.step))
     # FT loop meters the same per-sample total/data/DNN split as pretrain
     # (traintest_ft_base.py:117-147 mirrors traintest_cavmae_base.py:118-120)
     meters = {k: AverageMeter() for k in
@@ -508,10 +515,36 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     out = {"state": state, "best_epoch": best_epoch, "best": best_metric,
            "rows": rows, "model": model}
     if wa:
-        end = min(wa_end, len(rows))
-        out["wa_params"] = average_checkpoints(cfg.exp_dir, wa_start, end,
-                                               like=state.params)
+        # clamp to the last epoch that actually has a checkpoint — rows
+        # carry explicit epoch numbers (len(rows) would undercount after a
+        # resume, and an already-complete resumed run has no new rows)
+        last = max((int(r["epoch"]) for r in rows), default=0)
+        end = min(wa_end, last)
+        if end >= wa_start:
+            out["wa_params"] = average_checkpoints(cfg.exp_dir, wa_start,
+                                                   end, like=state.params)
+        else:
+            log(f"wa skipped: no checkpoints in [{wa_start}, {end}]")
     return out
+
+
+def _np_sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _np_bce(logits: np.ndarray, y: np.ndarray) -> float:
+    """numpy twin of ft.bce_with_logits (informational eval loss only)."""
+    x = logits.astype(np.float32)
+    return float(np.mean(np.maximum(x, 0) - x * y
+                         + np.log1p(np.exp(-np.abs(x)))))
+
+
+def _np_ce_soft(logits: np.ndarray, y: np.ndarray) -> float:
+    """numpy twin of ft.ce_with_soft_targets."""
+    x = logits.astype(np.float32)
+    z = x - x.max(axis=-1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+    return float(-np.mean((y * logp).sum(axis=-1)))
 
 
 def validate_ft(eval_fn, params, val_ds: AVDataset, cfg: FinetuneConfig,
@@ -525,22 +558,23 @@ def validate_ft(eval_fn, params, val_ds: AVDataset, cfg: FinetuneConfig,
                            sharding=sharding, train=False)
     params = _eval_params(params)
     preds, targets, losses = [], [], []
-    loss_fn = ft.loss_fn_for(cfg)
+    np_loss = _np_bce if cfg.loss == "BCE" else _np_ce_soft
     for i, (a, v, y) in enumerate(loader):
         if max_steps and i >= max_steps:
             break
         logits = eval_fn(params, (a, v, y))
-        logits = jax.device_get(logits)
-        y = jax.device_get(y)
+        # everything after the forward is host-side numpy: re-dispatching
+        # sigmoid/mean/loss per batch costs ~2 ms/dispatch (CLAUDE.md)
+        logits = np.asarray(jax.device_get(logits), dtype=np.float32)
+        y = np.asarray(jax.device_get(y), dtype=np.float32)
         if logits.ndim == 3:  # [B, T, C] multi-frame
-            p = jax.nn.sigmoid(jnp.asarray(logits)).mean(axis=1)
-            losses.append(float(loss_fn(jnp.asarray(logits).mean(axis=1),
-                                        jnp.asarray(y))))
+            p = _np_sigmoid(logits).mean(axis=1)
+            losses.append(np_loss(logits.mean(axis=1), y))
         else:
-            p = jax.nn.sigmoid(jnp.asarray(logits))
-            losses.append(float(loss_fn(jnp.asarray(logits), jnp.asarray(y))))
-        preds.append(np.asarray(p, dtype=np.float32))
-        targets.append(np.asarray(y, dtype=np.float32))
+            p = _np_sigmoid(logits)
+            losses.append(np_loss(logits, y))
+        preds.append(p)
+        targets.append(y)
     from avsiam_tpu.data.samplers import eval_shard_indices
     from avsiam_tpu.parallel.dist import gather_eval_outputs
     # drop this rank's batch-alignment padding before the ordered gather
@@ -626,3 +660,38 @@ def _write_csv(path: str, rows: List[Dict]):
         w = csv.DictWriter(f, fieldnames=keys)
         w.writeheader()
         w.writerows(rows)
+
+
+def _read_csv(path: str) -> List[Dict]:
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path, newline="") as f:
+        for r in csv.DictReader(f):
+            row = {}
+            for k, v in r.items():
+                if v is None or v == "":
+                    continue
+                try:
+                    fv = float(v)
+                    row[k] = int(fv) if k == "epoch" else fv
+                except ValueError:
+                    row[k] = v
+            out.append(row)
+    return out
+
+
+def _resume_history(exp_dir: str, start_epoch: int):
+    """Reload prior epochs' result rows and progress so a resumed run
+    appends to its history instead of rewriting result.csv/progress.pkl
+    from empty (which would erase pre-crash epochs)."""
+    if start_epoch <= 1:
+        return [], []
+    rows = [r for r in _read_csv(os.path.join(exp_dir, "result.csv"))
+            if r.get("epoch", 0) < start_epoch]
+    progress = []
+    ppath = os.path.join(exp_dir, "progress.pkl")
+    if os.path.exists(ppath):
+        with open(ppath, "rb") as f:
+            progress = [p for p in pickle.load(f) if p[0] < start_epoch]
+    return rows, progress

@@ -68,8 +68,12 @@ def test_pretrain_resume_continues(tmp_path, index_json):
     # run epochs 1-2
     out1 = run_pretrain(cfg, ds, max_steps_per_epoch=1, log=lambda *a: None)
     assert os.path.exists(tmp_path / "exp" / "models" / "train_state.2")
-    # resume: no epochs left -> returns immediately with restored state
+    # resume: no epochs left -> returns immediately with restored state AND
+    # the restored history (a resumed run must append to result.csv, never
+    # rewrite it from empty — that would erase the pre-crash epochs)
     out2 = run_pretrain(cfg, ds, max_steps_per_epoch=1, resume=True,
                         log=lambda *a: None)
     assert int(out2["state"].step) == int(out1["state"].step)
-    assert out2["rows"] == []  # nothing re-trained
+    assert [int(r["epoch"]) for r in out2["rows"]] == [1, 2]
+    for got, ref in zip(out2["rows"], out1["rows"]):
+        assert abs(got["loss"] - ref["loss"]) < 1e-4
