@@ -130,12 +130,12 @@ def optimizer_from_args(args) -> OptimizerConfig:
 
 def dataset_from_args(args, path: str, train: bool, label_smooth: float = 0.0,
                       num_mel_bins: int = 128, im_res: int = 224,
-                      num_frames: int = 10) -> AVDataset:
+                      num_frames: int = 10, frame_use: int = -1) -> AVDataset:
     return AVDataset(path, audio_config_from_args(args, train, num_mel_bins),
                      label_csv=args.label_csv, n_class=args.n_class,
                      mode="train" if train else "eval",
                      frame_source=args.frame_source, im_res=im_res,
-                     num_frames=num_frames,
+                     num_frames=num_frames, frame_use=frame_use,
                      label_smooth=label_smooth if train else 0.0)
 
 

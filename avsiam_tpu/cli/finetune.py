@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import ast
+import os
 
 import numpy as np
 
@@ -69,12 +70,9 @@ def _load_init_params(args, cfg: FinetuneConfig):
         print(f"loaded {path}: {len(missing)} fresh-init params, "
               f"{len(unused)} unused torch keys")
         return params
-    from avsiam_tpu.utils.checkpoint import restore_params, \
-        transfer_pretrain_to_ft
-    import os
-    exp_dir, name = os.path.split(path.rstrip("/"))
-    exp_dir = os.path.dirname(exp_dir)  # strip 'models/'
-    pre = restore_params(exp_dir, name)
+    from avsiam_tpu.utils.checkpoint import (restore_params_from_path,
+                                             transfer_pretrain_to_ft)
+    pre = restore_params_from_path(path)
     return transfer_pretrain_to_ft(pre, jax.device_get(fresh))
 
 
@@ -116,8 +114,17 @@ def main(argv=None):
                                 im_res=model_cfg.vit.img_size, num_frames=nf)
               if args.data_val else None)
     weights = None
-    if args.bal and args.weight_file:
+    if args.bal:
+        # loud failure: the reference loads the weights CSV whenever bal is
+        # set (run_cavmae_ft_base.py:184-200) — silently training unweighted
+        # would change dynamics with no signal to the user
+        if not args.weight_file:
+            raise SystemExit("--bal requires --weight_file (per-sample "
+                             "balance weights CSV; scripts/gen_weights.py)")
         weights = np.loadtxt(args.weight_file, delimiter=",")
+    elif args.weight_file:
+        print("warning: --weight_file given without --bal; weighted "
+              "sampling is OFF (pass --bal bal to enable)")
     init_params = _load_init_params(args, cfg)
     out = run_finetune(cfg, train_ds, val_ds, init_params=init_params,
                        mesh=mesh,
@@ -138,8 +145,16 @@ def main(argv=None):
                                     num_mel_bins=mel,
                                     im_res=model_cfg.vit.img_size,
                                     num_frames=nf)
-        best = restore_params(cfg.exp_dir, "best_audio_model",
-                              like=out["state"].params)
+        best_dir = os.path.join(cfg.exp_dir, "models", "best_audio_model")
+        if os.path.isdir(best_dir):
+            best = restore_params(cfg.exp_dir, "best_audio_model",
+                                  like=out["state"].params)
+        else:
+            # best_audio_model only exists when --data_val drove per-epoch
+            # selection; without it, evaluate the final params
+            print("no best checkpoint (no --data_val); evaluating final "
+                  "params on --data_eval")
+            best = out["state"].params
         stats, loss = validate_ft(make_ft_eval_step(out["model"], cfg), best,
                                   eval_ds, cfg,
                                   max_steps=args.max_steps_per_epoch)

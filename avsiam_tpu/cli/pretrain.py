@@ -67,12 +67,8 @@ def _load_init_params(args, cfg: PretrainConfig):
             num_audio_tokens=cfg.model.vit.num_audio_tokens)
         print(f"initialized pretrain trunk from timm checkpoint {path}")
         return params
-    import os
-
-    from avsiam_tpu.utils.checkpoint import restore_params
-    exp_dir, name = os.path.split(path.rstrip("/"))
-    exp_dir = os.path.dirname(exp_dir)  # strip 'models/'
-    params = restore_params(exp_dir, name, like=jax.device_get(fresh))
+    from avsiam_tpu.utils.checkpoint import restore_params_from_path
+    params = restore_params_from_path(path, like=jax.device_get(fresh))
     print(f"initialized pretrain params from {path}")
     return params
 

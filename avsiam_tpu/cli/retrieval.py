@@ -55,7 +55,7 @@ def extract_features(args, model_cfg: CAVMAEFTConfig, params, ds,
     for bi, idx in enumerate(idx_batches):
         if max_batches and bi >= max_batches:
             break
-        fb, img, _ = transform(*ds.batch(idx, rng, frames_per_sample=10))
+        fb, img, _ = transform(*ds.batch(idx, rng, frames_per_sample=1))
         fa, fv = feat(params, fb, img)
         a_all.append(np.asarray(jax.device_get(fa)))
         v_all.append(np.asarray(jax.device_get(fv)))
@@ -76,9 +76,12 @@ def main(argv=None):
                                 mlp_impl=args.mlp_impl)
     model_cfg = replace(model_cfg, vit=replace(
         model_cfg.vit, audio_length=args.target_length))
+    # loader-side frame selection (the reference's val_audio_conf
+    # frame_use, retrieval.py:100-103): one frame decoded + encoded per clip
     ds = dataset_from_args(args, args.data_eval or args.data_val, train=False,
                            num_mel_bins=model_cfg.vit.mel_bins,
-                           im_res=model_cfg.vit.img_size)
+                           im_res=model_cfg.vit.img_size,
+                           frame_use=args.frame_use)
 
     from avsiam_tpu.models import CAVMAEFinetune
     model = CAVMAEFinetune(model_cfg)
@@ -96,12 +99,9 @@ def main(argv=None):
                                             depth=model_cfg.vit.depth)
         else:
             # orbax checkpoint from our pretrainer or finetuner
-            import os as _os
-            from avsiam_tpu.utils.checkpoint import (restore_params,
-                                                     transfer_pretrain_to_ft)
-            exp_dir, name = _os.path.split(args.pretrain_path.rstrip("/"))
-            exp_dir = _os.path.dirname(exp_dir)  # strip 'models/'
-            loaded = restore_params(exp_dir, name)
+            from avsiam_tpu.utils.checkpoint import (
+                restore_params_from_path, transfer_pretrain_to_ft)
+            loaded = restore_params_from_path(args.pretrain_path)
             if "ast" in loaded or "decoder" in loaded:  # pretrain ckpt
                 params = transfer_pretrain_to_ft(loaded,
                                                  jax.device_get(params))

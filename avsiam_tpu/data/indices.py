@@ -73,8 +73,20 @@ class SqliteIndex(SampleIndex):
     def __init__(self, path: str):
         self._path = path
         self._local = threading.local()
-        self._n = self._cursor().execute(
-            "SELECT COUNT(*) FROM annos").fetchone()[0]
+        cur = self._cursor()
+        self._n = cur.execute("SELECT COUNT(*) FROM annos").fetchone()[0]
+        # lookups are WHERE id = i over i in [0, n) (the reference's
+        # contract, dataloader.py:366-368) — verify ids are 0-based and
+        # gap-free up front, or every missing id would silently become a
+        # fault-tolerance dummy sample (0.01-filled) instead of a loud error
+        if self._n:
+            lo, hi = cur.execute(
+                "SELECT MIN(id), MAX(id) FROM annos").fetchone()
+            if lo != 0 or hi != self._n - 1:
+                raise ValueError(
+                    f"{path}: annos ids must be contiguous 0..N-1 "
+                    f"(got min={lo}, max={hi}, count={self._n}); re-index "
+                    "the table (e.g. AUTOINCREMENT starts at 1)")
 
     def _cursor(self):
         if not hasattr(self._local, "cur"):
@@ -88,6 +100,8 @@ class SqliteIndex(SampleIndex):
     def __getitem__(self, i):
         row = self._cursor().execute(
             "SELECT * FROM annos WHERE id = ?", (i,)).fetchone()
+        if row is None:
+            raise IndexError(f"annos id {i} missing from {self._path}")
         return Record(wav=row[1], labels=row[2] if len(row) > 2 else "")
 
 

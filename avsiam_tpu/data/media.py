@@ -158,18 +158,22 @@ def decode_video_frames(path: str, num_frames: int = 10,
     if _FFMPEG is None:
         raise RuntimeError("ffmpeg not available for video decode")
     scale = [] if size is None else ["-vf", f"scale={size[1]}:{size[0]}"]
-    probe = subprocess.run(
-        [_FFMPEG.replace("ffmpeg", "ffprobe"), "-v", "error",
-         "-select_streams", "v:0", "-count_packets", "-show_entries",
-         "stream=nb_read_packets,width,height", "-of", "csv=p=0", path],
-        capture_output=True, text=True, check=True)
-    w, h, total = (int(v) for v in probe.stdout.strip().split(","))
+    if size is not None:
+        # output geometry is forced by the scale filter — skip the ffprobe
+        # subprocess entirely (a fork+exec plus stream scan per sample on
+        # the 1-core data plane, only needed to learn the native W x H)
+        h, w = size
+    else:
+        probe = subprocess.run(
+            [_FFMPEG.replace("ffmpeg", "ffprobe"), "-v", "error",
+             "-select_streams", "v:0", "-show_entries",
+             "stream=width,height", "-of", "csv=p=0", path],
+            capture_output=True, text=True, check=True)
+        w, h = (int(v) for v in probe.stdout.strip().split(","))
     out = subprocess.run(
         [_FFMPEG, "-v", "error", "-i", path, *scale, "-f", "rawvideo",
          "-pix_fmt", "rgb24", "-"],
         capture_output=True, check=True)
-    if size is not None:
-        h, w = size
     frames = np.frombuffer(out.stdout, dtype=np.uint8)
     frames = frames.reshape(-1, h, w, 3)
     idx = np.linspace(start_jitter, len(frames) - 1, num=num_frames,

@@ -140,10 +140,13 @@ class CAVMAEFinetune(nn.Module):
             return x
 
         if mode == "retrieval":
-            # returns audio tokens + frame-5 video tokens (cav_mae_base.py:920)
+            # returns audio tokens + frame-5 video tokens (cav_mae_base.py:
+            # 920) when fed the full 10-frame tensor; a caller that already
+            # selected its frame (the reference's loader-side frame_use,
+            # retrieval.py:100-103) passes [B, 1, ...] and gets that frame
             a_tok = self.encode_audio(a)
             v_tok = self.encode_video_frames(v)
-            return a_tok, v_tok[:, 5]
+            return a_tok, v_tok[:, 5 if v_tok.shape[1] > 5 else 0]
 
         if mode in ("mm_grad", "joint_av"):
             a_tok = self.encode_audio(a)

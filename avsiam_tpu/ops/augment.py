@@ -26,11 +26,18 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def _axis_mask(rng: jax.Array, B: int, size: int, mask_param: int):
-    """torchaudio masking parity: width = U[0, param), start = U[0, size-width).
-    Returns bool [B, size] (True = masked)."""
+    """torchaudio masking parity (functional.mask_along_axis): draw
+    value ~ U[0, param) and min ~ U[0, size - value), then mask the INTEGER
+    interval [int(min), int(min) + int(value)) — start and width are floored
+    separately, so the masked width is exactly floor(value) (the continuous
+    form masks a measurably wider strip on average and halves the
+    probability of an empty mask). Returns bool [B, size] (True = masked)."""
     k1, k2 = jax.random.split(rng)
-    width = jax.random.uniform(k1, (B, 1)) * mask_param
-    start = jax.random.uniform(k2, (B, 1)) * (size - width)
+    value = jax.random.uniform(k1, (B, 1)) * mask_param
+    # start range uses the CONTINUOUS value (torchaudio order), then both
+    # start and width floor independently
+    start = jnp.floor(jax.random.uniform(k2, (B, 1)) * (size - value))
+    width = jnp.floor(value)
     pos = jnp.arange(size, dtype=jnp.float32)[None, :]
     return (pos >= start) & (pos < start + width)
 

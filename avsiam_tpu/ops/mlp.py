@@ -183,7 +183,8 @@ def _pad_rows(x, tp):
                                                   (0, 0)))
 
 
-_BLOCK_T = 256  # fwd row block; bwd uses 128 (more f32 live per row)
+_BLOCK_T = 256  # row block for fwd AND the single-kernel bwd; only the
+# non-default split bwd (_bwd_call_split) drops to 128 (more f32 live/row)
 
 
 def _fwd_call(x, w1, b1, w2, b2, gelu, save_hpre: bool = False):

@@ -46,6 +46,15 @@ def restore_params(exp_dir: str, name, like=None):
         return ckptr.restore(path)
 
 
+def restore_params_from_path(path: str, like=None):
+    """Restore a params dir given its FULL path (``<exp>/models/<name>``) —
+    the single place that knows the exp-dir/models/name layout; every CLI's
+    checkpoint loading goes through here."""
+    exp_dir, name = os.path.split(path.rstrip("/"))
+    exp_dir = os.path.dirname(exp_dir)  # strip 'models/'
+    return restore_params(exp_dir, name, like=like)
+
+
 def average_checkpoints(exp_dir: str, start_epoch: int, end_epoch: int,
                         like=None):
     """Uniform weight averaging over epoch checkpoints [start, end].

@@ -88,3 +88,23 @@ def test_normalize_fbank():
     fb = jnp.full((1, 4, 4), -5.081 + 4.4849)
     out = normalize_fbank(fb, -5.081, 4.4849)
     assert np.allclose(np.asarray(out), 1.0)
+
+
+def test_spec_augment_integer_mask_widths():
+    """torchaudio mask_along_axis parity: masked strips start at integer
+    positions and have width exactly floor(value) — never a fractional-
+    boundary strip (the continuous form masks wider on average and halves
+    P(empty mask))."""
+    import jax
+    from avsiam_tpu.ops.augment import _axis_mask
+
+    masks = np.asarray(_axis_mask(jax.random.PRNGKey(3), 512, 128, 48))
+    widths = masks.sum(axis=1)
+    # width distribution: floor(U[0,48)) -> every value in [0, 48), and
+    # ~1/48 of draws empty (the continuous form gives ~half that)
+    assert widths.max() < 48 and (widths == 0).sum() > 0
+    for row, w in zip(masks, widths):
+        if w == 0:
+            continue
+        idx = np.flatnonzero(row)
+        assert idx[-1] - idx[0] + 1 == w, "mask must be one contiguous strip"
