@@ -88,7 +88,10 @@ def read_wav_mono(path: str) -> Tuple[np.ndarray, int]:
 
 def mean_center(x: np.ndarray) -> np.ndarray:
     lib = _load()
-    x = np.ascontiguousarray(x, dtype=np.float32)
+    assert lib is not None, "libavsiam_dsp.so not built (make -C native)"
+    # always copy: the C function centers in place, and the pure
+    # media.mean_center this replaces returns a NEW array
+    x = np.array(x, dtype=np.float32, order="C", copy=True)
     lib.mean_center(x, x.size)
     return x
 

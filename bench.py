@@ -47,7 +47,7 @@ def main():
 
     backend = jax.default_backend()
     n_chips = jax.device_count()
-    B = int(__import__("os").environ.get("BENCH_BATCH", "64"))
+    B = int(os.environ.get("BENCH_BATCH", "64"))
 
     # best measured single-chip parity configuration: size-dispatched
     # attention (Pallas token-major kernel for long sequences, XLA for short

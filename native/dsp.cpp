@@ -109,7 +109,9 @@ int wav_read_pcm16(const uint8_t* data, int64_t size, float* out,
       pcm_bytes = chunk;
       if (pos + 8 + pcm_bytes > size) pcm_bytes = size - pos - 8;
     }
-    pos += 8 + chunk + (chunk & 1);
+    // int64 accumulation: a corrupt uint32 chunk size near
+    // UINT32_MAX would wrap the advance to 0 and loop forever
+    pos += 8 + (int64_t)chunk + (chunk & 1);
   }
   if (!pcm || channels <= 0 || fmt != 1 || bits != 16) return -2;
   const int64_t frames = pcm_bytes / (2 * channels);

@@ -29,7 +29,10 @@ def timeit(name, fn, *args, iters=10, fetch=lambda out: out):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    float(jax.device_get(jnp.sum(fetch(out)).astype(jnp.float32)))
+        # fetch EVERY iteration: through the axon tunnel only a host fetch
+        # proves execution (CLAUDE.md); unfetched dispatches may be deferred,
+        # which would time ~1 execution instead of iters
+        float(jax.device_get(jnp.sum(fetch(out)).astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / iters * 1000
     print(f"{name:28s}: {dt:8.2f} ms")
     return dt
@@ -165,8 +168,6 @@ def main():
             timeit(f"{s} fwd+bwd {shp}", f, q, q, q, fetch=lambda o: o[0])
 
     if "embed" in stages:
-        bound = model.bind({"params": init_state(rng, model, cfg, (a[:1], v[:1])).params}
-                           ) if False else None
         # patch embeds alone via the functional apply
         if need_state:
             @jax.jit

@@ -39,7 +39,8 @@ def dump(argv):
     gelu = argv[4] if len(argv) > 4 else "erf"
     state, step, batch, rng = build_step(B, attn, mmixed, mlp, gelu)
     lr = jnp.float32(2e-4)
-    lowered = jax.jit(step, donate_argnums=(0,)).lower(state, batch, rng, lr)
+    # build_step returns the already-jitted (donated) step
+    lowered = step.lower(state, batch, rng, lr)
     compiled = lowered.compile()
     txt = compiled.as_text()
     with open(HLO_PATH, "w") as f:
@@ -51,6 +52,9 @@ def dump(argv):
 def load_trace_optimes():
     files = glob.glob(os.path.join(TRACE_DIR, "plugins", "profile", "*",
                                    "*.trace.json.gz"))
+    if not files:
+        raise SystemExit(f"no trace file under {TRACE_DIR} — run "
+                         "scripts/profile_step.py first")
     path = max(files, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
