@@ -26,6 +26,12 @@ REF_A100_CLIPS_PER_SEC_EST = 180.0
 def main():
     import os
 
+    # pin the measured-best attention packing config (sp=1 everywhere, the
+    # configuration that recorded 198.3 clips/s): the sample-packed mid-N
+    # path is implemented + equivalence-tested but not yet A/B'd on the
+    # chip (tunnel outage) — an env override still allows the A/B
+    os.environ.setdefault("AVSIAM_SP_ROWS", "0")
+
     import jax
 
     # persistent compilation cache (first run pays the ~5 min compile;
