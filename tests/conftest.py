@@ -9,10 +9,14 @@ import os
 # Tests always run on CPU with virtual devices (the real chip is reserved for
 # bench runs); override any externally-set platform (e.g. axon TPU tunnel).
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# the suite hard-requires the documented 8-device CPU mesh — REPLACE any
+# pre-set device count rather than honoring it (a CI wrapper or debug shell
+# presetting 1 would otherwise fail every mesh test confusingly)
+import re as _re
+flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                os.environ.get("XLA_FLAGS", ""))
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 

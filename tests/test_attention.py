@@ -27,9 +27,11 @@ def test_forward_matches_xla(N):
 
 
 def test_forward_with_mask_matches_xla():
-    rng = jax.random.PRNGKey(1)
+    rng, km = jax.random.split(jax.random.PRNGKey(1))
     q, k, v = _qkv(rng, N=196)
-    valid = jax.random.uniform(rng, (2, 196)) > 0.4
+    # fresh key for the mask: reusing the qkv key would correlate the mask
+    # with the values, testing one correlated point instead of independent
+    valid = jax.random.uniform(km, (2, 196)) > 0.4
     out_p = pallas_attention(q, k, v, key_valid=valid)
     out_x = xla_attention(q, k, v, key_valid=valid)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),

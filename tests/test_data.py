@@ -231,9 +231,13 @@ def test_short_clip_fbank_padding_matches_reference(json_index, label_csv):
 
 def test_gen_weights_balances_rare_classes(tmp_path, label_csv):
     """Rare-class samples get proportionally larger draw weights."""
-    import json as _json, sys
-    sys.path.insert(0, "scripts")
-    from gen_weights import compute_weights
+    import json as _json, pathlib, sys
+    scripts = str(pathlib.Path(__file__).parent.parent / "scripts")
+    sys.path.insert(0, scripts)
+    try:
+        from gen_weights import compute_weights
+    finally:
+        sys.path.remove(scripts)
     data = {"data": ([{"wav": f"/a{i}.wav", "labels": "/m/0"}
                       for i in range(9)]
                      + [{"wav": "/b.wav", "labels": "/m/1"}])}

@@ -1,6 +1,7 @@
 """Golden-value regression guards: fixed-seed tiny-model outputs must stay
-bit-stable across refactors (any intentional semantic change must update
-these constants and explain why)."""
+stable to 0.2% relative across refactors (TOL below; CPU f32 reduction-order
+drift is far smaller, so any trip is a real numerics change — update the
+constants only with an explanation of what changed)."""
 
 import jax
 import jax.numpy as jnp

@@ -18,10 +18,8 @@ from avsiam_tpu.configs import (AudioConfig, CAVMAEConfig, CAVMAEFTConfig,
 TINY_VIT = ViTConfig(dim=32, depth=2, num_heads=2, patch_size=16,
                      img_size=32, audio_length=128, mel_bins=32)
 TINY_DEC = DecoderConfig(dim=16, depth=1, num_heads=2)
-TINY_AUDIO = AudioConfig(target_length=8, sample_rate=1600,
-                         frame_length_ms=25.0, frame_shift_ms=10.0)
-# audio_length tokens: fbank target 8 frames is too small for the model's
-# 128-frame expectation -> use target_length matching vit.audio_length
+# target_length must match vit.audio_length (the fbank frame count feeds
+# the model's audio token grid)
 TINY_AUDIO = AudioConfig(target_length=TINY_VIT.audio_length,
                          num_mel_bins=TINY_VIT.mel_bins, sample_rate=16000)
 

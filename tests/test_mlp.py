@@ -15,7 +15,9 @@ D, H = 128, 256
 def _ref_mlp(x, w1, b1, w2, b2, gelu):
     from avsiam_tpu.ops.gelu import gelu as gelu_op
     h = jnp.dot(x, w1) + b1
-    h = gelu_op(h, impl="erf" if gelu == "erf" else gelu)
+    # same impl on both sides: this test checks kernel plumbing, not GELU
+    # accuracy (test_gelu.py covers that)
+    h = gelu_op(h, impl=gelu)
     return jnp.dot(h, w2) + b2
 
 

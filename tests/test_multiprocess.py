@@ -54,21 +54,41 @@ def mp_results(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("mp")
     data_dir = str(tmp)
     _write_dataset(data_dir)
-    port = 29000 + (os.getpid() % 500)
+    # reserve genuinely-free ports: pid-derived ports collide across
+    # concurrent/consecutive suite runs and flake jax.distributed init
+    import socket
+
+    def _free_port():
+        with socket.socket() as sk:
+            sk.bind(("127.0.0.1", 0))
+            return sk.getsockname()[1]
+
+    port, port2 = _free_port(), _free_port()
 
     # --- single-process reference: 8 virtual devices, same global mesh ---
     out1 = os.path.join(data_dir, "out_single.json")
     p = _run_worker([out1, 1, 0, port, 8, data_dir,
                      os.path.join(data_dir, "exp1")])
-    so1, se1 = p.communicate(timeout=900)
+    try:
+        so1, se1 = p.communicate(timeout=900)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        raise
     assert p.returncode == 0, f"single-proc worker failed:\n{so1}\n{se1}"
 
     # --- two processes x 4 local devices, same 8-device global mesh ---
     outs = [os.path.join(data_dir, f"out_r{r}.json") for r in (0, 1)]
-    procs = [_run_worker([outs[r], 2, r, port + 1, 4, data_dir,
+    procs = [_run_worker([outs[r], 2, r, port2, 4, data_dir,
                           os.path.join(data_dir, "exp2")])
              for r in (0, 1)]
-    io = [pr.communicate(timeout=900) for pr in procs]
+    try:
+        io = [pr.communicate(timeout=900) for pr in procs]
+    except subprocess.TimeoutExpired:
+        # kill BOTH orphans: a deadlocked pair would otherwise pin the
+        # 1-core host for the rest of the suite and hold the port
+        for pr in procs:
+            pr.kill()
+        raise
     for r, pr in enumerate(procs):
         assert pr.returncode == 0, (
             f"rank {r} failed:\n{io[r][0]}\n{io[r][1]}")

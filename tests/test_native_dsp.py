@@ -29,7 +29,8 @@ def test_native_fbank_matches_numpy_oracle():
 def test_native_wav_parse_matches_stdlib(tmp_path):
     sr = 16000
     x = (0.4 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
-    stereo = np.stack([x, -x], axis=1)  # downmix should be ~0... use same ch
+    # [x, -x] would downmix to ~0 and test nothing; unequal channels make
+    # the mono average a real check
     stereo = np.stack([x, x * 0.5], axis=1)
     p = tmp_path / "s.wav"
     with wave.open(str(p), "wb") as w:

@@ -88,15 +88,17 @@ def test_pretrain_grads_flow():
     assert float(jnp.abs(gd).max()) > 0
 
 
-@pytest.mark.parametrize("mode,is_eval,expected_rank", [
-    ("audioonly", False, 2),
-    ("audioonly", True, 3),
-    ("videoonly", False, 2),
-    ("mm_grad", False, None),
-    ("mm_grad", True, 3),
-    ("joint_av", False, 2),
+@pytest.mark.parametrize("mode,is_eval,expected", [
+    # expected: output shape, with T standing for the eval frame count;
+    # 'triple' = mm_grad training returns (av, a, v) logits
+    ("audioonly", False, (2, 7)),
+    ("audioonly", True, (2, 1, 7)),
+    ("videoonly", False, (2, 7)),
+    ("mm_grad", False, "triple"),
+    ("mm_grad", True, (2, "T", 7)),
+    ("joint_av", False, (2, 7)),
 ])
-def test_finetune_modes(mode, is_eval, expected_rank):
+def test_finetune_modes(mode, is_eval, expected):
     cfg = CAVMAEFTConfig(vit=TINY_VIT, label_dim=7)
     model = CAVMAEFinetune(cfg)
     rng = jax.random.PRNGKey(0)
@@ -104,15 +106,12 @@ def test_finetune_modes(mode, is_eval, expected_rank):
     a, v = _batch(rng, TINY_VIT, B=2, T=T)
     params = model.init(rng, a, v, mode, is_eval)
     out = model.apply(params, a, v, mode, is_eval)
-    if mode == "mm_grad" and not is_eval:
+    if expected == "triple":
         assert len(out) == 3
         assert out[0].shape == (2, 7)
-    elif is_eval and mode == "mm_grad":
-        assert out.shape == (2, T, 7)
-    elif is_eval and mode == "audioonly":
-        assert out.shape == (2, 1, 7)
     else:
-        assert out.shape == (2, 7)
+        want = tuple(T if d == "T" else d for d in expected)
+        assert out.shape == want
 
 
 def test_finetune_retrieval_mode():
