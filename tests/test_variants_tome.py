@@ -109,3 +109,52 @@ def test_block_tome_path():
     # r=0 unchanged signature
     out0 = blk.apply(params, x, "a")
     assert out0.shape == x.shape
+
+
+def test_audio_only_tr_pos_freezes_pos_embed():
+    """tr_pos=False must zero the pos-embed gradient (audio_mdl.py's
+    requires_grad=tr_pos) while leaving the param in the tree (checkpoint
+    shapes unchanged); tr_pos=True trains it."""
+    import numpy as np
+
+    rng = jax.random.PRNGKey(1)
+    a = jax.random.normal(rng, (2, TINY.audio_length, TINY.mel_bins))
+    for tr_pos, expect_zero in ((False, True), (True, False)):
+        model = CAVMAEFTAudio(vit=TINY, label_dim=5,
+                              modality_specific_depth=3, tr_pos=tr_pos)
+        variables = jax.jit(
+            lambda r, a, m=model: m.init(r, a, method=m.forward_pred))(rng, a)
+
+        def loss(params, m=model):
+            out = m.apply({"params": params}, a, method=m.forward_pred)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        gp = np.asarray(g["pos_embed_a"])
+        assert (np.all(gp == 0) == expect_zero), tr_pos
+        assert "pos_embed_a" in variables["params"]
+
+
+def test_audio_only_gelu_and_mlp_impl_thread_into_blocks():
+    """gelu/mlp_impl config must reach the blocks: 'tanh' GELU produces
+    different activations than the default 'erf' (it silently didn't before
+    round 3), while mlp_impl='remat_g' is bit-identical by construction."""
+    import dataclasses
+    import numpy as np
+
+    rng = jax.random.PRNGKey(2)
+    a = jax.random.normal(rng, (2, TINY.audio_length, TINY.mel_bins))
+    base = CAVMAEFTAudio(vit=TINY, label_dim=5, modality_specific_depth=3)
+    variables = jax.jit(
+        lambda r, a: base.init(r, a, method=base.forward_pred))(rng, a)
+    out_erf = base.apply(variables, a, method=base.forward_pred)
+    tanh_vit = dataclasses.replace(TINY, gelu="tanh")
+    m_tanh = CAVMAEFTAudio(vit=tanh_vit, label_dim=5,
+                           modality_specific_depth=3)
+    out_tanh = m_tanh.apply(variables, a, method=m_tanh.forward_pred)
+    assert not np.allclose(np.asarray(out_erf), np.asarray(out_tanh),
+                           atol=1e-6)
+    m_remat = CAVMAEFTAudio(vit=TINY, label_dim=5, modality_specific_depth=3,
+                            mlp_impl="remat_g")
+    out_remat = m_remat.apply(variables, a, method=m_remat.forward_pred)
+    np.testing.assert_array_equal(np.asarray(out_remat), np.asarray(out_erf))
