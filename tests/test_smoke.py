@@ -124,3 +124,50 @@ def test_finetune_retrieval_mode():
     a_tok, v_tok = model.apply(params, a, v, "retrieval")
     assert a_tok.shape == (2, vit.num_audio_tokens, vit.dim)
     assert v_tok.shape == (2, vit.num_video_tokens, vit.dim)
+
+
+def test_retrieval_single_frame_matches_frame_slice():
+    """A caller that pre-selected its frame (loader-side frame_use,
+    reference retrieval.py:100-103) passes [B, 1, ...] and must get exactly
+    the tokens the 10-frame tensor would yield at that index."""
+    vit = dataclasses.replace(TINY_VIT)
+    cfg = CAVMAEFTConfig(vit=vit, label_dim=7)
+    model = CAVMAEFinetune(cfg)
+    rng = jax.random.PRNGKey(3)
+    a, v = _batch(rng, vit, B=2, T=10)
+    params = model.init(rng, a, v, "retrieval")
+    _, v_tok_full = model.apply(params, a, v, "retrieval")  # frame 5 quirk
+    for k in (2, 5):
+        _, v_tok_one = model.apply(params, a, v[:, k:k + 1], "retrieval")
+        import numpy as np
+        if k == 5:
+            # allclose, not bit-equal: encoding 1 frame vs 10 changes the
+            # GEMM batch shape, so XLA reassociates reductions differently
+            np.testing.assert_allclose(np.asarray(v_tok_one),
+                                       np.asarray(v_tok_full),
+                                       atol=1e-5, rtol=1e-4)
+        else:
+            assert not np.allclose(np.asarray(v_tok_one),
+                                   np.asarray(v_tok_full))
+
+
+def test_dataset_frame_use_selects_frame():
+    """AVDataset(frame_use=k) must return frame k in single-frame eval
+    batches (the reference's val_audio_conf['frame_use'])."""
+    import numpy as np
+    from avsiam_tpu.configs import AudioConfig
+    from avsiam_tpu.data.dataset import AVDataset
+    import json as _json
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        idx = os.path.join(d, "i.json")
+        with open(idx, "w") as f:
+            _json.dump({"data": [{"wav": "/x.wav", "labels": ""}]}, f)
+        kw = dict(mode="eval", frame_source="synthetic", im_res=32)
+        ds_all = AVDataset(idx, AudioConfig(target_length=128), **kw)
+        _, frames10, _, _ = ds_all.batch([0], 0, frames_per_sample=10)
+        for k in (0, 7):
+            ds_k = AVDataset(idx, AudioConfig(target_length=128),
+                             frame_use=k, **kw)
+            _, f1, _, _ = ds_k.batch([0], 0, frames_per_sample=1)
+            np.testing.assert_array_equal(f1[0, 0], frames10[0, k])
