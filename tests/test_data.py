@@ -295,3 +295,41 @@ def test_sampler_positions_are_world_invariant():
     wi, wp = weighted_indices(w, n, 3, 5, world=1, rank=0, global_batch=B,
                               with_positions=True)
     assert len(wi) == len(wp) and np.array_equal(wp, np.arange(len(wi)))
+
+
+def test_prefetcher_done_arrives_when_queue_full():
+    """Regression: the DONE sentinel must reach a slow consumer even when
+    the bounded queue is full at producer exit (put_nowait used to drop it,
+    deadlocking the consumer's final get())."""
+    import time
+
+    from avsiam_tpu.data.pipeline import Prefetcher
+
+    it = Prefetcher(iter([1, 2, 3, 4]), depth=2)
+    time.sleep(0.3)  # let the worker fill the queue and finish/block
+    assert list(it) == [1, 2, 3, 4]  # must not hang waiting for DONE
+
+
+def test_prefetcher_close_unblocks_worker_on_early_break():
+    """A consumer that stops early must be able to stop the prefetch thread
+    (it used to stay blocked forever on the full queue, pinning batches)."""
+    import threading
+    import time
+
+    from avsiam_tpu.data.pipeline import Prefetcher
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    it = Prefetcher(gen(), depth=2)
+    assert next(it) == 0  # consume one, then walk away
+    it.close()
+    deadline = time.time() + 5.0
+    while it._t.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not it._t.is_alive(), "prefetch thread leaked after close()"
+    assert len(produced) < 100  # the producer stopped early, not exhausted
