@@ -26,11 +26,13 @@ REF_A100_CLIPS_PER_SEC_EST = 180.0
 def main():
     import os
 
-    # pin the measured-best attention packing config (sp=1 everywhere, the
-    # configuration that recorded 198.3 clips/s): the sample-packed mid-N
-    # path is implemented + equivalence-tested but not yet A/B'd on the
-    # chip (tunnel outage) — an env override still allows the A/B
-    os.environ.setdefault("AVSIAM_SP_ROWS", "0")
+    # pin the measured-best attention packing config: sample-packed
+    # token-major Pallas for small-N sequences with an 8192-row program cap
+    # (on-chip A/B, 2026-08-18: 202.1 clips/s vs 198.5 for the round-2
+    # sp=1/XLA-small-N config at B=64; row caps 2048/4096/8192 measured
+    # 201.6/201.7/202.1 — BENCH_NOTES.md). Env overrides allow re-A/B.
+    os.environ.setdefault("AVSIAM_SP_ROWS", "8192")
+    os.environ.setdefault("AVSIAM_SMALLN", "pallas")
 
     import jax
 
@@ -56,14 +58,14 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "64"))
 
     # best measured single-chip parity configuration: size-dispatched
-    # attention (Pallas token-major kernel for long sequences, XLA for short
-    # — see ops/attention.py 'auto') + exact chunked mmixed encoder (40%
-    # fewer pass-1 FLOPs than the padded multichip-friendly form) + 'fres'
-    # MLP (Pallas forward keeping the hidden in VMEM and emitting the bf16
-    # pre-GELU residual; XLA backward — round 3: 198.3 clips/s vs 181.4
-    # dense, BENCH_NOTES.md). B=64 is the measured batch sweet spot
-    # (BENCH_NOTES.md: 177 clips/s vs 156 at B=32, 163 at B=80; B=96
-    # exceeds HBM); first compile ~7 min through the remote tunnel.
+    # attention (Pallas token-major kernel everywhere — sample-packed
+    # programs for short sequences, see ops/attention.py) + exact chunked
+    # mmixed encoder (40% fewer pass-1 FLOPs than the padded
+    # multichip-friendly form) + 'fres' MLP (Pallas forward keeping the
+    # hidden in VMEM and emitting the bf16 pre-GELU residual; XLA backward
+    # — round 3: 202.1 clips/s, BENCH_NOTES.md). B=64 is the measured
+    # batch sweet spot (BENCH_NOTES.md: 177 clips/s vs 156 at B=32, 163 at
+    # B=80; B=96 exceeds HBM); first compile ~7 min through the tunnel.
     model_cfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl="auto",
                              mmixed_impl="exact", mlp_impl="fres")
     cfg = PretrainConfig(model=model_cfg, opt=OptimizerConfig(lr=2e-4),
