@@ -69,10 +69,12 @@ def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
         choices=["bfloat16", "float32"])
     arg("--attn_impl", type=str, default="auto",
         choices=["auto", "pallas", "xla"])
-    # 'fres' = fastest measured parity-grade MLP (Pallas fwd + XLA bwd,
-    # BENCH_NOTES.md round 3: +9% step throughput); 'dense' = plain XLA
-    arg("--mlp_impl", type=str, default="dense",
-        choices=["dense", "remat_g", "remat_all", "fused", "fbwd", "fres"])
+    # 'auto' resolves to 'fres' on TPU (fastest measured parity-grade MLP:
+    # Pallas fwd + XLA bwd, BENCH_NOTES.md round 3: +9% step throughput)
+    # and 'dense' (plain XLA) elsewhere
+    arg("--mlp_impl", type=str, default="auto",
+        choices=["auto", "dense", "remat_g", "remat_all", "fused", "fbwd",
+                 "fres"])
     # device-mesh layout (the reference's torchrun world, SURVEY.md 2.5):
     # data axis = DP (default all devices), model axis = optional TP headroom
     arg("--mesh_data", type=int, default=-1,

@@ -107,11 +107,13 @@ class CAVMAEConfig:
     mmixed_impl: str = "padded"
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
-    # 'dense' (XLA two-GEMM) | 'remat_g' (drop the pre-GELU hidden residual,
-    # recompute it in backward: one extra GEMM for one less [*,4D] HBM
-    # round-trip) | 'remat_all' (drop both hiddens) | 'fused' (Pallas fwd +
-    # single-kernel bwd) | 'fbwd' (XLA fwd, Pallas single-kernel bwd)
-    mlp_impl: str = "dense"
+    # 'auto' ('fres' on TPU, 'dense' elsewhere) | 'dense' (XLA two-GEMM) |
+    # 'fres' (Pallas fwd keeping the hidden in VMEM + bf16 pre-GELU residual
+    # out, XLA saved-residual bwd — measured-best on v5e, BENCH_NOTES.md) |
+    # 'remat_g' (drop the pre-GELU hidden residual, recompute it in backward)
+    # | 'remat_all' (drop both hiddens) | 'fused' (Pallas fwd + single-kernel
+    # bwd) | 'fbwd' (XLA fwd, Pallas single-kernel bwd)
+    mlp_impl: str = "auto"
     # decoder blocks' MLP impl; None = same as mlp_impl (the decoder's
     # [B,720,2048] hiddens are the step's largest MLP traffic — worth an
     # independent knob)
@@ -129,7 +131,7 @@ class CAVMAEFTConfig:
     num_eval_frames: int = 10  # eval loops over 10 frames (cav_mae_base.py:961)
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
-    mlp_impl: str = "dense"
+    mlp_impl: str = "auto"
     remat_blocks: bool = False
 
 

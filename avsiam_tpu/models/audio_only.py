@@ -32,7 +32,7 @@ class CAVMAEFTAudio(nn.Module):
     tr_pos: bool = True  # pos embed trainable flag (init is sin-cos either way)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
-    mlp_impl: str = "dense"
+    mlp_impl: str = "auto"
 
     def setup(self):
         c = self.vit

@@ -110,6 +110,12 @@ class Mlp(nn.Module):
                     saving, costs one fwd-GELU re-evaluation.
     * 'fused'     — Pallas fused kernel (ops/mlp.py): the hidden never
                     leaves VMEM (measured slower than XLA's GEMMs, kept).
+    * 'fres'      — Pallas forward (hidden stays in VMEM, emits the bf16
+                    pre-GELU hidden as a residual) + plain-XLA saved-residual
+                    backward. Measured-best on v5e (BENCH_NOTES.md round 3:
+                    198.3 vs dense 181.4 clips/s at B=64).
+    * 'auto'      — 'fres' on the TPU backend, 'dense' elsewhere (interpret-
+                    mode Pallas on CPU is correct but slow).
     """
 
     dim: int
@@ -131,18 +137,21 @@ class Mlp(nn.Module):
         from avsiam_tpu.ops import gelu as gelu_ops
         dt = self.dtype
         x = x.astype(dt)
-        if self.impl in ("fused", "fbwd", "fres"):
+        impl = self.impl
+        if impl == "auto":
+            impl = "fres" if jax.default_backend() == "tpu" else "dense"
+        if impl in ("fused", "fbwd", "fres"):
             from avsiam_tpu.ops.mlp import fused_mlp
             return fused_mlp(x, self.fc1.kernel, self.fc1.bias,
                              self.fc2.kernel, self.fc2.bias, gelu=self.gelu,
-                             impl=self.impl)
+                             impl=impl)
         w1 = self.fc1.kernel.astype(dt)
         b1 = self.fc1.bias.astype(dt)
         w2 = self.fc2.kernel.astype(dt)
         b2 = self.fc2.bias.astype(dt)
-        if self.impl in ("remat_g", "remat_all"):
+        if impl in ("remat_g", "remat_all"):
             policy = (jax.checkpoint_policies.save_only_these_names("mlp_g")
-                      if self.impl == "remat_g"
+                      if impl == "remat_g"
                       else jax.checkpoint_policies.nothing_saveable)
 
             @functools.partial(jax.checkpoint, policy=policy)

@@ -645,8 +645,11 @@ def _sublane(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
-# max sp*Np rows per program (VMEM + unroll budget); env knob for A/B runs
-_SP_ROW_CAP = int(os.environ.get("AVSIAM_SP_ROWS", "2048"))
+# max sp*Np rows per program (VMEM + unroll budget); env knob for A/B runs.
+# Default 8192 = measured-best on v5e (row-cap sweep 1024/2048/4096/8192 ->
+# 199.7/201.6/201.7/202.1 clips/s at B=64, BENCH_NOTES.md round 3: bigger
+# programs amortize per-program cost).
+_SP_ROW_CAP = int(os.environ.get("AVSIAM_SP_ROWS", "8192"))
 
 
 def _samples_per_program(B: int, Np: int) -> int:
@@ -706,10 +709,11 @@ def pallas_attention_qkv(xqkv: jnp.ndarray, num_heads: int,
     return out[:B, :N]
 
 
-# Small-N (auto-dispatch) backend: 'xla' (round-2 measured winner at
-# N<=256 vs per-sample Pallas programs) | 'pallas' (the sample-packed
-# token-major kernel — sp>1 amortizes per-program cost).
-_SMALLN_IMPL = os.environ.get("AVSIAM_SMALLN", "xla")
+# Small-N (auto-dispatch) backend: 'pallas' (the sample-packed token-major
+# kernel — sp>1 amortizes the per-program cost that made per-sample
+# programs lose to XLA in round 2; on-chip A/B 2026-08-18: 202.1 clips/s
+# vs 198.5 for 'xla' at B=64, BENCH_NOTES.md) | 'xla'.
+_SMALLN_IMPL = os.environ.get("AVSIAM_SMALLN", "pallas")
 
 
 def attention_qkv(xqkv: jnp.ndarray, num_heads: int,

@@ -30,7 +30,9 @@ def main():
     # token-major Pallas for small-N sequences with an 8192-row program cap
     # (on-chip A/B, 2026-08-18: 202.1 clips/s vs 198.5 for the round-2
     # sp=1/XLA-small-N config at B=64; row caps 2048/4096/8192 measured
-    # 201.6/201.7/202.1 — BENCH_NOTES.md). Env overrides allow re-A/B.
+    # 201.6/201.7/202.1 — BENCH_NOTES.md). These are now also the code
+    # defaults (ops/attention.py); pinned here so env noise can't regress
+    # the driver benchmark. Env overrides upstream still allow re-A/B.
     os.environ.setdefault("AVSIAM_SP_ROWS", "8192")
     os.environ.setdefault("AVSIAM_SMALLN", "pallas")
 
@@ -63,9 +65,10 @@ def main():
     # mmixed encoder (40% fewer pass-1 FLOPs than the padded
     # multichip-friendly form) + 'fres' MLP (Pallas forward keeping the
     # hidden in VMEM and emitting the bf16 pre-GELU residual; XLA backward
-    # — round 3: 202.1 clips/s, BENCH_NOTES.md). B=64 is the measured
-    # batch sweet spot (BENCH_NOTES.md: 177 clips/s vs 156 at B=32, 163 at
-    # B=80; B=96 exceeds HBM); first compile ~7 min through the tunnel.
+    # — round 3: 202.1 clips/s, BENCH_NOTES.md). B=64 is the batch
+    # sweet spot per compile-dollar (round-3 sweep at this config: B=72
+    # 197.4, B=80 204.1 but with a ~16.5 min tunnel compile vs ~8 min at
+    # B=64 for +1%; B=96 exceeds HBM); first compile ~8 min.
     model_cfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl="auto",
                              mmixed_impl="exact", mlp_impl="fres")
     cfg = PretrainConfig(model=model_cfg, opt=OptimizerConfig(lr=2e-4),

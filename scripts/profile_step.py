@@ -108,6 +108,15 @@ def parse_trace(logdir: str, n_steps: int):
 
 
 def main():
+    # same persistent compile cache as bench.py (helps when the backend
+    # supports caching; harmless otherwise)
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     attn = sys.argv[2] if len(sys.argv) > 2 else "auto"
     mmixed = sys.argv[3] if len(sys.argv) > 3 else "exact"

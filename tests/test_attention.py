@@ -126,13 +126,31 @@ def test_sample_packed_matches_sp1():
     """sp>1 (samples-per-program packing for small N) must be bit-identical
     to sp=1 in forward and match in gradients — the per-sample loop computes
     the same dots in the same order, only grouped into fewer programs."""
+    import importlib
+
     from avsiam_tpu.ops.attention import (_samples_per_program,
                                           pallas_attention_qkv)
 
-    assert _samples_per_program(64, 192) == 8   # divisor, zero padding
-    assert _samples_per_program(13, 144) == 13  # whole batch in one program
-    assert _samples_per_program(13, 160) == 7   # prime B: pad 13 -> 14
-    assert _samples_per_program(64, 720) == 1   # long sequences: unpacked
+    # NOTE: `from avsiam_tpu.ops import attention` binds the re-exported
+    # *function*, not the module — go through importlib for the module.
+    attn_mod = importlib.import_module("avsiam_tpu.ops.attention")
+
+    # sp selection depends on the row cap (AVSIAM_SP_ROWS); pin it so the
+    # assertions are stable against default changes (8192 since the round-3
+    # sweep, BENCH_NOTES.md).
+    cap0 = attn_mod._SP_ROW_CAP
+    try:
+        attn_mod._SP_ROW_CAP = 2048
+        assert _samples_per_program(64, 192) == 8   # divisor, zero padding
+        assert _samples_per_program(13, 144) == 13  # whole batch, 1 program
+        assert _samples_per_program(13, 160) == 7   # prime B: pad 13 -> 14
+        assert _samples_per_program(64, 720) == 1   # long seqs: unpacked
+        attn_mod._SP_ROW_CAP = 8192
+        assert _samples_per_program(64, 192) == 32  # bigger cap, bigger sp
+        assert _samples_per_program(13, 160) == 13  # whole batch now fits
+        assert _samples_per_program(64, 720) == 1   # long seqs: still 1
+    finally:
+        attn_mod._SP_ROW_CAP = cap0
     rng = jax.random.PRNGKey(9)
     B, N, H, D = 8, 177, 2, 64
     C = H * D
