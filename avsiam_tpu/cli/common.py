@@ -74,7 +74,7 @@ def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
     # and 'dense' (plain XLA) elsewhere
     arg("--mlp_impl", type=str, default="auto",
         choices=["auto", "dense", "remat_g", "remat_all", "fused", "fbwd",
-                 "fres"])
+                 "fres", "lnfres"])
     # device-mesh layout (the reference's torchrun world, SURVEY.md 2.5):
     # data axis = DP (default all devices), model axis = optional TP headroom
     arg("--mesh_data", type=int, default=-1,

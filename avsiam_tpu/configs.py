@@ -112,7 +112,9 @@ class CAVMAEConfig:
     # out, XLA saved-residual bwd — measured-best on v5e, BENCH_NOTES.md) |
     # 'remat_g' (drop the pre-GELU hidden residual, recompute it in backward)
     # | 'remat_all' (drop both hiddens) | 'fused' (Pallas fwd + single-kernel
-    # bwd) | 'fbwd' (XLA fwd, Pallas single-kernel bwd)
+    # bwd) | 'fbwd' (XLA fwd, Pallas single-kernel bwd) | 'lnfres' ('fres'
+    # with the pre-MLP LayerNorm and the residual add folded into the
+    # forward kernel — the LN/MLP outputs never round-trip HBM)
     mlp_impl: str = "auto"
     # decoder blocks' MLP impl; None = same as mlp_impl (the decoder's
     # [B,720,2048] hiddens are the step's largest MLP traffic — worth an

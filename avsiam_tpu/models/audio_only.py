@@ -55,10 +55,10 @@ class CAVMAEFTAudio(nn.Module):
                          for i in range(self.modality_specific_depth)]
         self.blocks_u = [mk(i, f"blocks_u_{i}")
                          for i in range(c.depth - self.modality_specific_depth)]
-        self.norm_a = LayerNormFP32(epsilon=c.block_ln_eps, dtype=self.dtype,
-                                    name="norm_a")
-        self.norm = LayerNormFP32(epsilon=c.block_ln_eps, dtype=self.dtype,
-                                  name="norm")
+        self.norm_a = LayerNormFP32(c.dim, epsilon=c.block_ln_eps,
+                                    dtype=self.dtype, name="norm_a")
+        self.norm = LayerNormFP32(c.dim, epsilon=c.block_ln_eps,
+                                  dtype=self.dtype, name="norm")
         self.mlp_head = MlpHead(self.label_dim, self.dtype, name="mlp_head")
 
     def encode(self, a):

@@ -103,7 +103,7 @@ class MAEDecoder(nn.Module):
                           c.dec_mlp_impl or c.mlp_impl, name=f"blocks_{i}")
             for i in range(d.depth)
         ]
-        self.norm = LayerNormFP32(epsilon=d.ln_eps, dtype=self.dtype,
+        self.norm = LayerNormFP32(d.dim, epsilon=d.ln_eps, dtype=self.dtype,
                                   name="norm")
         self.pred_a = nn.Dense(p * p * 1, dtype=self.dtype,
                                param_dtype=jnp.float32, name="pred_a")

@@ -43,7 +43,8 @@ class MlpHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = LayerNormFP32(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+        x = LayerNormFP32(x.shape[-1], epsilon=1e-5, dtype=self.dtype,
+                          name="ln")(x)
         return nn.Dense(self.label_dim, dtype=self.dtype,
                         param_dtype=jnp.float32, name="linear")(x)
 

@@ -53,24 +53,43 @@ class LayerNormFP32(nn.Module):
     Compute goes through ops/layernorm.py: identical forward math to flax
     nn.LayerNorm (mean-of-squares variance), with a fused single-read Pallas
     backward on TPU (XLA re-reads the activations once per dx fusion and
-    once per dgamma fusion; the step is bandwidth-bound — BENCH_NOTES.md)."""
+    once per dgamma fusion; the step is bandwidth-bound — BENCH_NOTES.md).
 
+    setup-style with explicit ``features`` so the params exist without a
+    call: ModalityBlock's 'lnfres' MLP path (ops/mlp.py:fused_ln_mlp) reads
+    ``.scale``/``.bias`` directly and folds the LN into the MLP kernel. The
+    param tree ('ln'/{scale,bias}, f32 ones/zeros) is unchanged from the
+    previous nn.LayerNorm submodule, so checkpoints/importers are unaffected.
+    """
+
+    features: int
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.ln = _LNParams(self.features)
+
+    @property
+    def scale(self):
+        return self.ln.scale
+
+    @property
+    def bias(self):
+        return self.ln.bias
+
     def __call__(self, x):
-        from avsiam_tpu.ops.layernorm import LN_IMPL, layer_norm_fp32
+        from avsiam_tpu.ops.layernorm import (LN_IMPL, _ln_fwd_math,
+                                              layer_norm_fp32)
         if LN_IMPL != "pallas":
-            # default: plain flax module + XLA autodiff (the measured winner)
-            y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
-                             param_dtype=jnp.float32, name="ln")(
-                                 x.astype(jnp.float32))
+            # default: plain jnp ops (flax nn.LayerNorm's exact formula,
+            # ops/layernorm.py:_ln_fwd_math) + XLA autodiff — the measured
+            # winner. f32 in, f32 math, cast to self.dtype out.
+            y = _ln_fwd_math(x.astype(jnp.float32), self.ln.scale,
+                             self.ln.bias, self.epsilon)
             return y.astype(self.dtype)
-        p = _LNParams(x.shape[-1], name="ln")
         # x passes in its own dtype: the custom VJP stores the bf16 x as its
         # residual (not an upcast f32 copy) and casts to f32 internally
-        y = layer_norm_fp32(x, p.scale, p.bias, self.epsilon)
+        y = layer_norm_fp32(x, self.ln.scale, self.ln.bias, self.epsilon)
         return y.astype(self.dtype)
 
 
@@ -140,6 +159,11 @@ class Mlp(nn.Module):
         impl = self.impl
         if impl == "auto":
             impl = "fres" if jax.default_backend() == "tpu" else "dense"
+        if impl == "lnfres":
+            # LN folding happens at the block level (ModalityBlock._mlp_res);
+            # a standalone Mlp call (e.g. the 'av' two-norm tail) runs the
+            # plain 'fres' kernel on its already-normalized input.
+            impl = "fres"
         if impl in ("fused", "fbwd", "fres"):
             from avsiam_tpu.ops.mlp import fused_mlp
             return fused_mlp(x, self.fc1.kernel, self.fc1.bias,
@@ -238,8 +262,8 @@ class ModalityBlock(nn.Module):
     mlp_impl: str = "dense"
 
     def setup(self):
-        mk = lambda name: LayerNormFP32(epsilon=self.ln_eps, dtype=self.dtype,
-                                        name=name)
+        mk = lambda name: LayerNormFP32(self.dim, epsilon=self.ln_eps,
+                                        dtype=self.dtype, name=name)
         self.norm1 = mk("norm1")
         self.norm1_a = mk("norm1_a")
         self.norm1_v = mk("norm1_v")
@@ -283,11 +307,26 @@ class ModalityBlock(nn.Module):
             x = x + attn_out
             assign, keep = bipartite_soft_matching(metric, r)
             x, _ = merge_wavg(assign, x)
-            x = x + self.mlp(n2(x))
+            x = self._mlp_res(x, n2)
             return x, keep
         x = x + self.attn(n1(x), key_valid=key_valid)
-        x = x + self.mlp(n2(x))
+        x = self._mlp_res(x, n2)
         return x
+
+    def _mlp_res(self, x, n2):
+        """The MLP sub-block ``x + mlp(n2(x))``. With ``mlp_impl='lnfres'``
+        the pre-MLP LayerNorm, both GEMMs, the GELU, and the residual add run
+        as ONE Pallas forward kernel (ops/mlp.py:fused_ln_mlp) — the LN
+        output and the MLP output never round-trip HBM. Numerics match the
+        unfused 'fres' form (f32 LN stats + f32 GELU under bf16 GEMMs)."""
+        if self.mlp_impl == "lnfres":
+            from avsiam_tpu.ops.mlp import fused_ln_mlp
+            return fused_ln_mlp(
+                x.astype(self.dtype), n2.scale, n2.bias,
+                self.mlp.fc1.kernel, self.mlp.fc1.bias,
+                self.mlp.fc2.kernel, self.mlp.fc2.bias,
+                eps=self.ln_eps, gelu=self.gelu)
+        return x + self.mlp(n2(x))
 
     def call_tconcat(self, x, modality: Optional[str],
                      chunk_shapes: tuple):
@@ -319,7 +358,7 @@ class ModalityBlock(nn.Module):
             outs.append(o.reshape(r, -1))
             off += r
         x = x + self.attn.proj(jnp.concatenate(outs, axis=0))
-        x = x + self.mlp(n2(x))
+        x = self._mlp_res(x, n2)
         return x
 
 
@@ -381,10 +420,10 @@ class SiameseViT(nn.Module):
                       c.gelu, self.mlp_impl, name=f"blocks_{i}")
             for i in range(c.depth)
         ]
-        self.norm = LayerNormFP32(epsilon=c.final_ln_eps, dtype=self.dtype,
-                                  name="norm")
-        self.norm_a = LayerNormFP32(epsilon=c.final_ln_eps, dtype=self.dtype,
-                                    name="norm_a")
+        self.norm = LayerNormFP32(c.dim, epsilon=c.final_ln_eps,
+                                  dtype=self.dtype, name="norm")
+        self.norm_a = LayerNormFP32(c.dim, epsilon=c.final_ln_eps,
+                                    dtype=self.dtype, name="norm_a")
 
     def embed_audio(self, fbank: jnp.ndarray) -> jnp.ndarray:
         """[B, T, F] fbank -> [B, 512, D] tokens (with the x2 quirk).

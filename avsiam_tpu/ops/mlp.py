@@ -403,6 +403,140 @@ def _fres_mlp_bwd(gelu, res, do):
 _fres_mlp.defvjp(_fres_mlp_fwd, _fres_mlp_bwd)
 
 
+def _lnfwd_kernel(x_ref, g_ref, bln_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  o_ref, hpre_ref, *, gelu, eps):
+    # LN (f32 stats, flax nn.LayerNorm's exact formula) -> fc1 -> GELU ->
+    # fc2 -> +residual, all on the row block while it sits in VMEM. The
+    # standalone LN fusion's [T, D] write + read and the residual-add
+    # fusion's [T, D] read + write never touch HBM.
+    xf = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    mul = jax.lax.rsqrt(var + eps) * g_ref[:].astype(jnp.float32)
+    n = ((xf - mu) * mul + bln_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    hpre = jnp.dot(n, w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[:].astype(jnp.float32)
+    hpre_ref[:] = hpre.astype(hpre_ref.dtype)
+    h = _gelu_f32(hpre, gelu).astype(x_ref.dtype)
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    m = (y + b2_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    # residual add in the activation dtype, matching the unfused
+    # ``x + mlp(n2(x))`` graph bit-for-bit
+    o_ref[:] = x_ref[:] + m
+
+
+def _lnfwd_call(x, g, bln, w1, b1, w2, b2, eps, gelu):
+    T, D = x.shape
+    H = w1.shape[1]
+    tp = -(-T // _BLOCK_T) * _BLOCK_T
+    xp = _pad_rows(x, tp)
+    grid = (tp // _BLOCK_T,)
+    const = lambda i: (0, 0)
+    row = lambda i: (i, 0)
+    o, hpre = pl.pallas_call(
+        functools.partial(_lnfwd_kernel, gelu=gelu, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BLOCK_T, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BLOCK_T, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_T, H), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, D), x.dtype),
+            jax.ShapeDtypeStruct((tp, H), x.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tp * D * H,
+            bytes_accessed=(2 * tp * D + 2 * D * H + tp * H)
+            * x.dtype.itemsize,
+            transcendentals=tp * H,
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(xp, g, bln, w1, b1, w2, b2)
+    return o[:T], hpre[:T]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _lnfres_mlp(x, g, bln, w1, b1, w2, b2, eps, gelu):
+    # 'lnfres': the 'fres' forward with the pre-MLP LayerNorm AND the
+    # residual add folded INTO the kernel (ops replaced inside an existing
+    # kernel boundary — the round-3 rule). Backward is plain XLA: LN is
+    # recomputed from x (which the LN backward reads anyway), then the same
+    # saved-residual MLP backward as 'fres', then the analytic LN VJP.
+    return _lnfwd_call(x, g, bln, w1, b1, w2, b2, eps, gelu)[0]
+
+
+def _lnfres_mlp_fwd(x, g, bln, w1, b1, w2, b2, eps, gelu):
+    out, hpre = _lnfwd_call(x, g, bln, w1, b1, w2, b2, eps, gelu)
+    return out, (x, g, bln, w1, w2, hpre)
+
+
+def _lnfres_mlp_bwd(eps, gelu, res, do):
+    from avsiam_tpu.ops.layernorm import _ln_bwd_math, _ln_fwd_math
+    x, g, bln, w1, w2, hpre = res
+    dt = x.dtype
+    n = _ln_fwd_math(x, g, bln, eps)  # recompute the bf16 LN output
+    act_f32, grad = gelu_act_grad_f32(hpre.astype(jnp.float32),
+                                      _kernel_impl(gelu))
+    dh = jax.lax.dot_general(  # dout @ w2^T: contract the D axis
+        do, w2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gh = (dh * grad).astype(dt)
+    dn = jax.lax.dot_general(  # gh @ w1^T: contract the H axis
+        gh, w1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+    dw1 = jax.lax.dot_general(  # n^T @ gh
+        n, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(  # act^T @ dout
+        act_f32.astype(dt), do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1 = jnp.sum(gh.astype(jnp.float32), axis=0, keepdims=True)
+    db2 = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
+    dx_ln, dgamma, dbeta = _ln_bwd_math(x, g, dn, eps)
+    dx = do + dx_ln  # the residual branch's cotangent joins here
+    return (dx, dgamma.reshape(1, -1).astype(g.dtype),
+            dbeta.reshape(1, -1).astype(bln.dtype),
+            dw1.astype(w1.dtype), db1.astype(w1.dtype),
+            dw2.astype(w2.dtype), db2.astype(w2.dtype))
+
+
+_lnfres_mlp.defvjp(_lnfres_mlp_fwd, _lnfres_mlp_bwd)
+
+
+def fused_ln_mlp(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
+                 eps: float = 1e-5, gelu: str = "erf") -> jnp.ndarray:
+    """``x + fc2(gelu(fc1(LN(x))))`` — the transformer block's whole MLP
+    sub-block (pre-LN, MLP, residual) as ONE Pallas forward kernel.
+
+    x: [..., D]; ln_scale/ln_bias [D] f32; w1 [D, H], b1 [H], w2 [H, D],
+    b2 [D]. Numerics identical to ``x + Mlp(impl='fres')(LayerNormFP32(x))``:
+    f32 LN statistics, bf16 GEMM operands, f32 accumulation, f32 GELU.
+    """
+    shape = x.shape
+    D = shape[-1]
+    H = w1.shape[1]
+    assert D % 128 == 0 and H % 128 == 0, (D, H)
+    x2 = x.reshape(-1, D)
+    dt = x.dtype
+    out = _lnfres_mlp(
+        x2, ln_scale.reshape(1, -1).astype(jnp.float32),
+        ln_bias.reshape(1, -1).astype(jnp.float32),
+        w1.astype(dt), b1.reshape(1, -1).astype(dt),
+        w2.astype(dt), b2.reshape(1, -1).astype(dt), float(eps), gelu)
+    return out.reshape(shape)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _fbwd_mlp(x, w1, b1, w2, b2, gelu):
     # forward = the 'dense' XLA path bit-for-bit (layers.Mlp dense impl)

@@ -78,7 +78,7 @@ def test_layernorm_fp32_param_tree_unchanged():
     """LayerNormFP32 must keep the nn.LayerNorm param tree (ln/scale,
     ln/bias, f32) — checkpoint and torch-import compatibility."""
     from avsiam_tpu.models.layers import LayerNormFP32
-    mdl = LayerNormFP32(epsilon=EPS, dtype=jnp.bfloat16)
+    mdl = LayerNormFP32(64, epsilon=EPS, dtype=jnp.bfloat16)
     x = jnp.ones((2, 3, 64), jnp.bfloat16)
     params = mdl.init(jax.random.PRNGKey(0), x)
     leaves = params["params"]["ln"]

@@ -205,3 +205,110 @@ def test_fres_mlp_under_dp_tp_mesh():
     for name, a, b in zip(("dw1", "dw2"), gr, ref_gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def _ref_ln_mlp(x, g, bl, w1, b1, w2, b2, eps, gelu):
+    from avsiam_tpu.ops.layernorm import _ln_fwd_math
+    n = _ln_fwd_math(x, g, bl, eps)
+    return x + _ref_mlp(n, w1, b1, w2, b2, gelu)
+
+
+def test_fused_ln_mlp_matches_unfused():
+    """'lnfres' (ops/mlp.py:fused_ln_mlp): LN + fc1 + GELU + fc2 + residual
+    in one Pallas forward must match the unfused LN -> MLP -> add composition
+    in values and in ALL gradients (x, ln scale/bias, both weight pairs)."""
+    from avsiam_tpu.ops.mlp import fused_ln_mlp
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(3), jnp.float32)
+    g = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(8), (D,))
+    bl = 0.1 * jax.random.normal(jax.random.PRNGKey(9), (D,))
+    eps = 1e-5
+
+    def l_new(x, g, bl, w1, b1, w2, b2):
+        return jnp.sum(jnp.sin(fused_ln_mlp(x, g, bl, w1, b1, w2, b2,
+                                            eps=eps, gelu="erf")))
+
+    def l_ref(x, g, bl, w1, b1, w2, b2):
+        return jnp.sum(jnp.sin(_ref_ln_mlp(x, g, bl, w1, b1, w2, b2,
+                                           eps, "ans")))
+
+    args = (x, g, bl, w1, b1, w2, b2)
+    np.testing.assert_allclose(float(l_new(*args)), float(l_ref(*args)),
+                               rtol=1e-5)
+    gn = jax.jit(jax.grad(l_new, argnums=tuple(range(7))))(*args)
+    gr = jax.jit(jax.grad(l_ref, argnums=tuple(range(7))))(*args)
+    names = ("dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2")
+    for name, a, b in zip(names, gn, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5, err_msg=name)
+
+
+def test_modality_block_lnfres_matches_dense():
+    """ModalityBlock(mlp_impl='lnfres') must match the 'dense' block in
+    forward and parameter gradients on every routing path (single-norm,
+    'av' two-norm fallback, tconcat) with shared params."""
+    from avsiam_tpu.models.layers import ModalityBlock
+    mk = lambda impl: ModalityBlock(dim=D, num_heads=4, dtype=jnp.float32,
+                                    attn_impl="xla", gelu="erf",
+                                    mlp_impl=impl)
+    ref, new = mk("dense"), mk("lnfres")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 24, D))
+    params = ref.init(rng, x, "a")
+
+    def loss(m, p):
+        return jnp.sum(jnp.sin(m.apply(p, x, "a")))
+
+    np.testing.assert_allclose(np.asarray(new.apply(params, x, "a")),
+                               np.asarray(ref.apply(params, x, "a")),
+                               atol=1e-5, rtol=1e-5)
+    g0 = jax.jit(jax.grad(lambda p: loss(ref, p)))(params)
+    g1 = jax.jit(jax.grad(lambda p: loss(new, p)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+    # 'av' path (two norm sets -> standalone Mlp fallback mapping to 'fres')
+    a_in = jax.random.normal(rng, (2, 16, D))
+    v_in = jax.random.normal(rng, (2, 8, D))
+    pav = ref.init(rng, (a_in, v_in), "av")
+    for o_new, o_ref in zip(new.apply(pav, (a_in, v_in), "av"),
+                            ref.apply(pav, (a_in, v_in), "av")):
+        np.testing.assert_allclose(np.asarray(o_new), np.asarray(o_ref),
+                                   atol=1e-5, rtol=1e-5)
+    # tconcat path folds too
+    xt = x.reshape(-1, D)
+    t_ref = ref.apply(params, xt, "a", ((2, 24),), method=ref.call_tconcat)
+    t_new = new.apply(params, xt, "a", ((2, 24),), method=new.call_tconcat)
+    np.testing.assert_allclose(np.asarray(t_new), np.asarray(t_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_ln_mlp_under_dp_mesh():
+    """fused_ln_mlp under a DP-sharded input: GSPMD must resolve the
+    pallas_call's shardings without changing values or gradients."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avsiam_tpu.ops.mlp import fused_ln_mlp
+    from avsiam_tpu.parallel.mesh import make_mesh
+    from avsiam_tpu.configs import MeshConfig
+
+    mesh = make_mesh(MeshConfig(data=8))
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(7), jnp.float32)
+    x = jnp.tile(x[None], (8, 1, 1))
+    g = jnp.ones((D,))
+    bl = jnp.zeros((D,))
+
+    def loss(x, w1, b1, w2, b2):
+        y = fused_ln_mlp(x, g, bl, w1, b1, w2, b2, eps=1e-5, gelu="erf")
+        return jnp.sum(jnp.sin(y))
+
+    ref_val = loss(x, w1, b1, w2, b2)
+    ref_gr = jax.grad(loss, argnums=(1, 3))(x, w1, b1, w2, b2)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with mesh:
+        val = jax.jit(loss)(xs, w1, b1, w2, b2)
+        gr = jax.jit(jax.grad(loss, argnums=(1, 3)))(xs, w1, b1, w2, b2)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+    for name, a, b in zip(("dw1", "dw2"), gr, ref_gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
