@@ -54,6 +54,27 @@ def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
     arg("--lrscheduler_start", type=int, default=10)
     arg("--lrscheduler_step", type=int, default=5)
     arg("--lrscheduler_decay", type=float, default=0.5)
+    # adaptive-lr path + the reference's parsed-but-inert flags, so the
+    # verbatim recipe command lines (egs/audioset/run_base_ft.sh:86-99,
+    # run_pretrain_base.sh:75-88) parse and run here unchanged:
+    arg("--lr_adapt", type=ast.literal_eval, default=False,
+        help="ReduceLROnPlateau(mode=max, factor=0.5, patience=lr_patience) "
+             "instead of MultiStepLR (traintest_ft_base.py:99-104)")
+    arg("--lr_patience", type=int, default=1 if ft else 2,
+        help="epochs to wait before halving lr under --lr_adapt")
+    arg("--warmup", type=ast.literal_eval, default=True,
+        help="no-op: parsed but never used by the reference either "
+             "(run_cavmae_ft_base.py:88)")
+    arg("--optim", type=str, default="adam", choices=["sgd", "adam"],
+        help="no-op: the reference parses this but hard-codes Adam in both "
+             "loops (traintest_cavmae_base.py:64-66, traintest_ft_base.py:78)")
+    arg("--save_model", type=ast.literal_eval, default=True,
+        help="save per-epoch audio_model.{e} checkpoints "
+             "(traintest_cavmae_base.py:232)")
+    arg("--wandb", type=int, default=0,
+        help="enable wandb logging (project 'uavm', rank 0 only)")
+    arg("--model_name", type=str, default="",
+        help="wandb run name (run_cavmae_ft_base.py:157)")
     arg("--n-print-steps", "--n_print_steps", dest="n_print_steps", type=int,
         default=100)
     arg("--mixup", type=float, default=0.0)
@@ -124,10 +145,17 @@ def audio_config_from_args(args, train: bool,
 
 
 def optimizer_from_args(args) -> OptimizerConfig:
+    if getattr(args, "optim", "adam") == "sgd":
+        # faithful to the reference: --optim is accepted but both loops
+        # construct torch.optim.Adam unconditionally
+        print("warning: --optim sgd accepted but ignored (the reference "
+              "hard-codes Adam in its loops; so do we)")
     return OptimizerConfig(
         lr=args.lr, lrscheduler_start=args.lrscheduler_start,
         lrscheduler_step=args.lrscheduler_step,
-        lrscheduler_decay=args.lrscheduler_decay)
+        lrscheduler_decay=args.lrscheduler_decay,
+        lr_adapt=bool(getattr(args, "lr_adapt", False)),
+        lr_patience=getattr(args, "lr_patience", 2))
 
 
 def dataset_from_args(args, path: str, train: bool, label_smooth: float = 0.0,

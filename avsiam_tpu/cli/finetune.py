@@ -36,6 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wa_end", type=int, default=10)
     p.add_argument("--weight_file", type=str, default=None,
                    help="CSV of per-sample balance weights (with --bal)")
+    # inert reference flags, accepted so egs/audioset/run_base_ft.sh's
+    # verbatim command line parses: skip_frame_agg is only read in the dead
+    # post-exit() ensemble block (run_cavmae_ft_base.py:283-369); dis_w /
+    # dis_w_2 are parsed and never read anywhere
+    p.add_argument("--skip_frame_agg", type=ast.literal_eval, default=False,
+                   help="no-op: only used in the reference's dead code")
+    p.add_argument("--dis_w", type=float, default=0.0,
+                   help="no-op: parsed but never read by the reference")
+    p.add_argument("--dis_w_2", type=float, default=0.0,
+                   help="no-op: parsed but never read by the reference")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest train_state checkpoint")
     p.add_argument("--parity_optimizer", type=ast.literal_eval, default=True,
@@ -81,6 +91,12 @@ def main(argv=None):
     apply_platform_override()
     args = build_parser().parse_args(argv)
     dump_args(args, args.exp_dir)
+    if args.wandb:
+        # MetricsLogger attaches wandb when WANDB_PROJECT is set; 'uavm' is
+        # the reference's project name (run_cavmae_ft_base.py:157)
+        os.environ.setdefault("WANDB_PROJECT", "uavm")
+        if args.model_name:
+            os.environ.setdefault("WANDB_NAME", args.model_name)
     from avsiam_tpu.configs import replace
     from avsiam_tpu.models.variants import finetune_config
     model_cfg = finetune_config(args.model, label_dim=args.n_class,
@@ -103,7 +119,7 @@ def main(argv=None):
         loss=args.loss, metrics=args.metrics, label_smooth=args.label_smooth,
         parity_optimizer=bool(args.parity_optimizer),
         n_print_steps=args.n_print_steps, seed=args.seed,
-        exp_dir=args.exp_dir)
+        exp_dir=args.exp_dir, save_model=bool(args.save_model))
     nf = model_cfg.num_eval_frames
     train_ds = dataset_from_args(args, args.data_train, train=True,
                                  label_smooth=args.label_smooth,
@@ -114,7 +130,10 @@ def main(argv=None):
                                 im_res=model_cfg.vit.img_size, num_frames=nf)
               if args.data_val else None)
     weights = None
-    if args.bal:
+    # reference semantics: ONLY the literal value 'bal' activates balanced
+    # sampling (run_cavmae_ft_base.py:184 `if args.bal == 'bal'`); recipes
+    # pass the STRING "None" when off, which must not be treated as truthy
+    if args.bal == "bal":
         # loud failure: the reference loads the weights CSV whenever bal is
         # set (run_cavmae_ft_base.py:184-200) — silently training unweighted
         # would change dynamics with no signal to the user
@@ -122,9 +141,13 @@ def main(argv=None):
             raise SystemExit("--bal requires --weight_file (per-sample "
                              "balance weights CSV; scripts/gen_weights.py)")
         weights = np.loadtxt(args.weight_file, delimiter=",")
-    elif args.weight_file:
-        print("warning: --weight_file given without --bal; weighted "
-              "sampling is OFF (pass --bal bal to enable)")
+    else:
+        if args.bal not in (None, "", "None", "none", "False"):
+            print(f"warning: --bal {args.bal!r} != 'bal'; unbalanced "
+                  "sampling (reference semantics: only 'bal' activates)")
+        if args.weight_file:
+            print("warning: --weight_file given without --bal bal; weighted "
+                  "sampling is OFF")
     init_params = _load_init_params(args, cfg)
     out = run_finetune(cfg, train_ds, val_ds, init_params=init_params,
                        mesh=mesh,

@@ -29,6 +29,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mmixed_impl", type=str, default="exact",
                    choices=["padded", "exact", "bucketed", "packed", "tconcat"])
     p.add_argument("--pretrain_path", type=str, default="None")
+    # inert reference flags, accepted so egs/audioset/run_pretrain_base.sh's
+    # verbatim command line parses: norm_pix_loss reaches CAVMAE_BASE but its
+    # use is commented out (cav_mae_base.py:673-676); tr_pos is a constructor
+    # arg with no effect in CAVMAE_BASE (its pos embeds are buffers from timm
+    # + always-trainable decoder nn.Parameters, cav_mae_base.py:312-314)
+    import ast
+    p.add_argument("--norm_pix_loss", type=ast.literal_eval, default=False,
+                   help="no-op: commented out in the reference model")
+    p.add_argument("--tr_pos", type=ast.literal_eval, default=False,
+                   help="no-op in CAVMAE_BASE (see audio-only model for the "
+                        "live tr_pos)")
     # linear-probe datasets (the reference builds separate AS-20K loaders,
     # run_cavmae_pretrain_base.py:146-163)
     p.add_argument("--probe_data_train", type=str, default=None)
@@ -78,6 +89,13 @@ def main(argv=None):
     apply_platform_override()
     args = build_parser().parse_args(argv)
     dump_args(args, args.exp_dir)
+    if args.wandb:
+        # MetricsLogger attaches wandb when WANDB_PROJECT is set; 'uavm' is
+        # the reference's project name (run_cavmae_pretrain_base.py:118)
+        import os
+        os.environ.setdefault("WANDB_PROJECT", "uavm")
+        if args.model_name:
+            os.environ.setdefault("WANDB_NAME", args.model_name)
     from avsiam_tpu.configs import replace
     from avsiam_tpu.models.variants import pretrain_config
     model_cfg = pretrain_config(args.model, dtype=jnp_dtype(args.dtype),
@@ -100,7 +118,7 @@ def main(argv=None):
         contrast_loss_weight=args.contrast_loss_weight,
         mae_loss_weight=args.mae_loss_weight,
         n_print_steps=args.n_print_steps, seed=args.seed,
-        exp_dir=args.exp_dir)
+        exp_dir=args.exp_dir, save_model=bool(args.save_model))
     train_ds = dataset_from_args(args, args.data_train, train=True,
                                  num_mel_bins=mel,
                                  im_res=model_cfg.vit.img_size)

@@ -175,6 +175,13 @@ class OptimizerConfig:
     lrscheduler_start: int = 10
     lrscheduler_step: int = 5
     lrscheduler_decay: float = 0.5
+    # lr_adapt=True replaces MultiStepLR with ReduceLROnPlateau(mode='max',
+    # factor=0.5, patience=lr_patience), stepped per epoch on the eval metric
+    # (mAP/acc for finetune, -eval_loss for pretrain) — the reference's
+    # "preliminary experiments only" path (traintest_ft_base.py:99-104,
+    # traintest_cavmae_base.py:68-75). Every recipe sets it False.
+    lr_adapt: bool = False
+    lr_patience: int = 2
 
 
 @dataclass(frozen=True)
@@ -203,6 +210,10 @@ class PretrainConfig:
     n_print_steps: int = 100
     seed: int = 87
     exp_dir: str = "./exp/pretrain"
+    # False skips the per-epoch audio_model.{e} params saves (the reference's
+    # --save_model gate, traintest_cavmae_base.py:232); train_state saves for
+    # resume are unaffected.
+    save_model: bool = True
 
 
 @dataclass(frozen=True)
@@ -235,6 +246,9 @@ class FinetuneConfig:
     n_print_steps: int = 100
     seed: int = 87
     exp_dir: str = "./exp/ft"
+    # False skips per-epoch audio_model.{e} params saves (--save_model,
+    # traintest_ft_base.py:262); best-model + train_state saves unaffected.
+    save_model: bool = True
 
 
 def replace(cfg, **kwargs):

@@ -135,6 +135,9 @@ class Mlp(nn.Module):
                     198.3 vs dense 181.4 clips/s at B=64).
     * 'auto'      — 'fres' on the TPU backend, 'dense' elsewhere (interpret-
                     mode Pallas on CPU is correct but slow).
+    * 'lnfres'    — accepted for CLI passthrough; at the standalone-Mlp level
+                    it behaves as 'fres' (the LN fold happens one level up,
+                    in ModalityBlock._mlp_res, where the pre-MLP norm lives).
     """
 
     dim: int
@@ -318,8 +321,13 @@ class ModalityBlock(nn.Module):
         the pre-MLP LayerNorm, both GEMMs, the GELU, and the residual add run
         as ONE Pallas forward kernel (ops/mlp.py:fused_ln_mlp) — the LN
         output and the MLP output never round-trip HBM. Numerics match the
-        unfused 'fres' form (f32 LN stats + f32 GELU under bf16 GEMMs)."""
-        if self.mlp_impl == "lnfres":
+        unfused 'fres' form (f32 LN stats + f32 GELU under bf16 GEMMs).
+
+        The kernel computes the residual add at self.dtype; the unfused path
+        computes it in x's own dtype. Blocks always see x at self.dtype in
+        this model family, but if a caller ever feeds a promoted (f32) x,
+        fall back to the unfused form so residual precision matches."""
+        if self.mlp_impl == "lnfres" and x.dtype == self.dtype:
             from avsiam_tpu.ops.mlp import fused_ln_mlp
             return fused_ln_mlp(
                 x.astype(self.dtype), n2.scale, n2.bias,

@@ -454,6 +454,10 @@ def _lnfwd_call(x, g, bln, w1, b1, w2, b2, eps, gelu):
             jax.ShapeDtypeStruct((tp, D), x.dtype),
             jax.ShapeDtypeStruct((tp, H), x.dtype),
         ),
+        # advisory scheduler hint only: reuses the plain-MLP formula — the
+        # LN's rsqrt transcendentals and the f32 scale/bias reads are
+        # deliberately ignored (same convention as _fwd_call; both are <1%
+        # of the GEMM traffic this estimate exists to convey)
         cost_estimate=pl.CostEstimate(
             flops=4 * tp * D * H,
             bytes_accessed=(2 * tp * D + 2 * D * H + tp * H)

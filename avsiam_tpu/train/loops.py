@@ -253,6 +253,17 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
     for r in result_rows:  # restore the best-ckpt decision state on resume
         if r.get("eval_loss", np.inf) < best_loss:
             best_loss, best_epoch = r["eval_loss"], int(r["epoch"])
+    sched = None
+    if cfg.opt.lr_adapt:
+        # ReduceLROnPlateau stepped on -eval_loss after each epoch's
+        # validation (traintest_cavmae_base.py:69-71,236-237); replaces
+        # MultiStepLR entirely. Resume replays restored epochs' metric feed
+        # so the scheduler state (best / bad-epoch count / lr) is restored.
+        from avsiam_tpu.train.optim import plateau_scheduler
+        sched = plateau_scheduler(cfg.opt)
+        for r in result_rows:
+            if "eval_loss" in r:
+                sched.step(-r["eval_loss"])
     meters = {k: AverageMeter() for k in
               ("loss", "loss_mae_a", "loss_mae_v", "loss_c", "per_sample_time",
                "per_sample_data_time", "per_sample_dnn_time")}
@@ -262,7 +273,7 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
     for epoch in range(start_epoch, cfg.n_epochs + 1):
         for meter in meters.values():  # per-epoch reset (reference :256-264)
             meter.reset()
-        lr = pt.lr_for_epoch(cfg, epoch)
+        lr = sched.lr if sched is not None else pt.lr_for_epoch(cfg, epoch)
         loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
                                transform, jax.random.fold_in(rng, epoch),
                                sharding=sharding)
@@ -319,6 +330,8 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
             if row.get("eval_loss", np.inf) < best_loss:
                 best_loss, best_epoch = row["eval_loss"], epoch
                 save_params(cfg.exp_dir, "best_audio_model", state.params)
+            if sched is not None:
+                sched.step(-row["eval_loss"])  # cavmae_base.py:236-237
         if probe_train_ds is not None and probe_val_ds is not None:
             # per-epoch linear probe (traintest_cavmae_base.py:250-252)
             probe = linear_probe(state.params, cfg, probe_train_ds,
@@ -326,7 +339,8 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
                                  max_steps_per_epoch=max_steps_per_epoch,
                                  mesh=mesh, log=log)
             row.update({f"probe_{k}": v for k, v in probe.items()})
-        save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
+        if cfg.save_model:  # --save_model gate (traintest_cavmae_base.py:232)
+            save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         result_rows.append(row)
         mlog.log(row, step=global_step)
@@ -426,6 +440,16 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     for r in rows:  # restore best-ckpt decision state on resume
         if r.get(metric_key, -np.inf) > best_metric:
             best_metric, best_epoch = r[metric_key], int(r["epoch"])
+    sched = None
+    if cfg.opt.lr_adapt:
+        # ReduceLROnPlateau(mode='max') stepped on the main eval metric
+        # after each epoch (traintest_ft_base.py:99-100,266-270); resume
+        # replays restored epochs to rebuild scheduler state.
+        from avsiam_tpu.train.optim import plateau_scheduler
+        sched = plateau_scheduler(cfg.opt)
+        for r in rows:
+            if metric_key in r:
+                sched.step(r[metric_key])
     global_step = int(jax.device_get(state.step))
     # FT loop meters the same per-sample total/data/DNN split as pretrain
     # (traintest_ft_base.py:117-147 mirrors traintest_cavmae_base.py:118-120)
@@ -436,7 +460,7 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
     for epoch in range(start_epoch, cfg.n_epochs + 1):
         for meter in meters.values():  # per-epoch reset (reference parity)
             meter.reset()
-        lr = ft.lr_for_epoch(cfg, epoch)
+        lr = sched.lr if sched is not None else ft.lr_for_epoch(cfg, epoch)
         loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
                                transform, jax.random.fold_in(rng, epoch),
                                weights=balance_weights, sharding=sharding)
@@ -502,7 +526,10 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
                 save_params(cfg.exp_dir, "best_audio_model", state.params)
             else:
                 non_improving += 1
-        save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
+            if sched is not None:
+                sched.step(metric)  # traintest_ft_base.py:266-270
+        if cfg.save_model:  # --save_model gate (traintest_ft_base.py:262)
+            save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
         rows.append(row)
         mlog.log(row, step=global_step)

@@ -102,6 +102,67 @@ def flat_masked_torch_adam(cfg: OptimizerConfig, mask) -> FlatMaskedAdam:
     return FlatMaskedAdam(init=init, step=step)
 
 
+class PlateauScheduler:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau parity (the reference's
+    ``lr_adapt`` path, traintest_ft_base.py:99-100 /
+    traintest_cavmae_base.py:69-71: mode='max', factor=0.5,
+    patience=args.lr_patience, everything else torch defaults).
+
+    Host-side state machine; the current ``lr`` is fed to the jitted step as
+    a runtime scalar (like the MultiStepLR factor), so adaptation never
+    recompiles. ``step(metric)`` runs once per epoch after validation —
+    the finetune loop feeds mAP/acc (traintest_ft_base.py:266-270), the
+    pretrain loop feeds ``-eval_loss`` (traintest_cavmae_base.py:236-237).
+    Verified update-for-update against torch in tests/test_plateau.py.
+    """
+
+    def __init__(self, init_lr: float, mode: str = "max", factor: float = 0.5,
+                 patience: int = 1, threshold: float = 1e-4,
+                 threshold_mode: str = "rel", cooldown: int = 0,
+                 min_lr: float = 0.0, eps: float = 1e-8):
+        assert mode in ("min", "max") and threshold_mode in ("rel", "abs")
+        self.lr = float(init_lr)
+        self.mode, self.factor, self.patience = mode, factor, patience
+        self.threshold, self.threshold_mode = threshold, threshold_mode
+        self.cooldown, self.min_lr, self.eps = cooldown, min_lr, eps
+        self.best = float("-inf") if mode == "max" else float("inf")
+        self.cooldown_counter = 0
+        self.num_bad_epochs = 0
+
+    def _is_better(self, a: float, best: float) -> bool:
+        if self.mode == "min" and self.threshold_mode == "rel":
+            return a < best * (1.0 - self.threshold)
+        if self.mode == "min":
+            return a < best - self.threshold
+        if self.threshold_mode == "rel":
+            return a > best * (self.threshold + 1.0)
+        return a > best + self.threshold
+
+    def step(self, metric) -> float:
+        current = float(metric)
+        if self._is_better(current, self.best):
+            self.best = current
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0  # torch: cooldown suppresses bad epochs
+        if self.num_bad_epochs > self.patience:
+            new_lr = max(self.lr * self.factor, self.min_lr)
+            if self.lr - new_lr > self.eps:
+                self.lr = new_lr
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+        return self.lr
+
+
+def plateau_scheduler(cfg: OptimizerConfig) -> PlateauScheduler:
+    """The exact scheduler both reference loops construct under lr_adapt."""
+    return PlateauScheduler(cfg.lr, mode="max", factor=0.5,
+                            patience=cfg.lr_patience)
+
+
 def multistep_lr_factor(epoch_1indexed: int, start: int, step: int,
                         gamma: float) -> float:
     milestones_passed = 0

@@ -19,7 +19,7 @@ python -m avsiam_tpu.cli.pretrain \
   --lr 2e-4 --n-epochs 25 --batch-size 64 \
   --lrscheduler_start 10 --lrscheduler_step 5 --lrscheduler_decay 0.5 \
   --masking_ratio 0.25 --masking_ratio_a 0.25 --mask_mode unstructured \
-  --contrast_loss_weight 1.0 --mae_loss_weight 1.0 \
+  --contrast_loss_weight 1.0 --mae_loss_weight 0 \
   --dataset_mean -5.081 --dataset_std 4.4849 --target_length 1024 \
   --noise True --mixup 0.0 \
   --frame_source video \
