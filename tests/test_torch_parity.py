@@ -178,3 +178,43 @@ def test_mm_grad_parity(models):
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out_v), ref_v.numpy(),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_reference_checkpoint_activations():
+    """Auto-activating REAL-checkpoint parity: skips until someone runs
+    `python scripts/gen_goldens.py activations --reference-src ... --ckpt
+    ...` on a machine with timm + an AVSiam clone + a README-table .pth
+    (README.md:57-62) and drops tests/fixtures/ref_activations.npz here.
+    Loads the same .pth through OUR importer and compares per-mode logits."""
+    import os
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "ref_activations.npz")
+    if not os.path.exists(fx):
+        pytest.skip("ref_activations.npz not present (scripts/gen_goldens.py)")
+    data = np.load(fx)
+    ckpt = data["meta_ckpt"].item().decode()
+    if not os.path.exists(ckpt):
+        pytest.skip(f"recorded checkpoint missing: {ckpt}")
+    from avsiam_tpu.configs import CAVMAEFTConfig, ViTConfig
+    from avsiam_tpu.utils.torch_import import load_torch_checkpoint
+
+    label_dim = int(data["meta_label_dim"])
+    cfg = CAVMAEFTConfig(vit=ViTConfig(), label_dim=label_dim)
+    jm = CAVMAEFinetune(cfg)
+    rng = jax.random.PRNGKey(0)
+    a = jnp.asarray(data["audio"])
+    v = jnp.asarray(data["video"])[:, None]
+    fresh = jax.jit(lambda r, a, v: jm.init(r, a, v, "mm_grad", False))(
+        rng, a[:1], v[:1])["params"]
+    sd = load_torch_checkpoint(ckpt)
+    params, missing, unused = import_cavmae_ft(sd, fresh, depth=12)
+    for mode in ("audioonly", "videoonly", "mm_grad"):
+        key = f"logits_{mode}"
+        if key not in data:
+            continue
+        out = jm.apply({"params": params}, a, v, mode, True)
+        out = out[0] if isinstance(out, (tuple, list)) else out
+        if np.asarray(out).ndim == 3:  # [B, T, C] eval frames -> frame 0
+            out = np.asarray(out)[:, 0]
+        np.testing.assert_allclose(np.asarray(out), data[key],
+                                   atol=1e-3, rtol=1e-3, err_msg=mode)
