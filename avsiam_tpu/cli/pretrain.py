@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--probe_data_val", type=str, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest train_state checkpoint")
+    p.add_argument("--weight_file", type=str, default=None,
+                   help="CSV of per-sample balance weights (with --bal bal; "
+                        "the reference pretrain runner's DistributedProxy"
+                        "Sampler path, run_cavmae_pretrain_base.py:128)")
     return p
 
 
@@ -134,10 +138,18 @@ def main(argv=None):
                                    num_mel_bins=mel,
                                    im_res=model_cfg.vit.img_size)
                  if args.probe_data_val else None)
+    weights = None
+    if args.bal == "bal":  # reference: only the literal 'bal' activates
+        if not args.weight_file:
+            raise SystemExit("--bal requires --weight_file (per-sample "
+                             "balance weights CSV; scripts/gen_weights.py)")
+        import numpy as np
+        weights = np.loadtxt(args.weight_file, delimiter=",")
     out = run_pretrain(cfg, train_ds, val_ds,
                        probe_train_ds=probe_train, probe_val_ds=probe_val,
                        probe_n_class=args.n_class,
                        init_params=_load_init_params(args, cfg),
+                       balance_weights=weights,
                        mesh=mesh, resume=args.resume,
                        max_steps_per_epoch=args.max_steps_per_epoch)
     print("pretrain done:", {k: out[k] for k in ("best_epoch",)

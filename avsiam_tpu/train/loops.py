@@ -205,7 +205,7 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
                  probe_train_ds: Optional[AVDataset] = None,
                  probe_val_ds: Optional[AVDataset] = None,
                  probe_n_class: int = 527, init_params=None,
-                 mesh=None, sharding=None,
+                 balance_weights=None, mesh=None, sharding=None,
                  max_steps_per_epoch: Optional[int] = None,
                  resume: bool = False, log: Callable = print) -> Dict:
     from avsiam_tpu.utils.checkpoint import (restore_train_state,
@@ -276,7 +276,7 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
         lr = sched.lr if sched is not None else pt.lr_for_epoch(cfg, epoch)
         loader = _epoch_loader(train_ds, cfg.batch_size, epoch, cfg.seed,
                                transform, jax.random.fold_in(rng, epoch),
-                               sharding=sharding)
+                               weights=balance_weights, sharding=sharding)
 
         def flush_window(win) -> Optional[Dict[str, float]]:
             avg, t = win.flush()

@@ -317,3 +317,21 @@ def test_retrieval_metrics_pipeline(tmp_path, index_json, direction):
     f = rng.randn(6, 16)
     m = retrieval_metrics(f, f, direction)
     assert m["R1"] == 1.0
+
+
+def test_run_pretrain_balanced_sampling(tmp_path, index_json):
+    """The pretrain loop accepts per-sample balance weights (the reference
+    pretrain runner's DistributedProxySampler path when bal=='bal',
+    run_cavmae_pretrain_base.py:128): heavily weighting a subset must still
+    produce a finite, checkpointed run."""
+    import numpy as np
+    from avsiam_tpu.train.loops import run_pretrain
+    cfg = PretrainConfig(
+        model=CAVMAEConfig(vit=TINY_VIT, decoder=TINY_DEC),
+        audio=TINY_AUDIO, opt=OptimizerConfig(lr=1e-4), batch_size=4,
+        n_epochs=1, n_print_steps=1, exp_dir=str(tmp_path / "bal"))
+    w = np.ones(8); w[:2] = 100.0
+    out = run_pretrain(cfg, _ds(index_json), balance_weights=w,
+                       max_steps_per_epoch=2, log=lambda *a: None)
+    assert not out.get("diverged")
+    assert os.path.exists(tmp_path / "bal" / "models" / "audio_model.1")
