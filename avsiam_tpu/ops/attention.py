@@ -651,6 +651,13 @@ def _sublane(dtype) -> int:
 # programs amortize per-program cost).
 _SP_ROW_CAP = int(os.environ.get("AVSIAM_SP_ROWS", "8192"))
 
+# max Np eligible for sample packing. Default 511 keeps the round-2 kernel
+# (sp=1) for every long sequence (decoder Np=720, full-audio Np=512) — at
+# those sizes per-program cost is already amortized over Np^2 work. Knob for
+# the VERDICT-r3 "re-sweep sp-packing at N=720" A/B (e.g. 1024 lets the
+# decoder pack sp=11 at the 8192-row cap).
+_SP_MAX_NP = int(os.environ.get("AVSIAM_SP_MAXNP", "511"))
+
 
 def _samples_per_program(B: int, Np: int) -> int:
     """Samples per grid program: 1 for long sequences (the decoder/full-
@@ -662,7 +669,7 @@ def _samples_per_program(B: int, Np: int) -> int:
     reaches the same program count or is within 2x of the cap; otherwise
     returns a non-divisor sp and the caller pads the batch (the mmixed
     chunks' prime B=13 would otherwise never pack)."""
-    if Np >= 512:
+    if Np > _SP_MAX_NP:
         return 1
     cap_sp = max(1, min(B, _SP_ROW_CAP // Np))
     if cap_sp == 1:

@@ -5,9 +5,22 @@ Prints one line: config + clips/s + ms/step.
 """
 
 import sys
+import os
 import time
 
 import jax
+
+# Persistent compilation cache (works through the axon tunnel, measured
+# round 4): repeats of an already-benched config skip the 3-8 min remote
+# compile. Same dir as bench.py so the driver bench and A/B sweeps share it.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "tests", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 from avsiam_tpu.configs import (CAVMAEConfig, OptimizerConfig,

@@ -149,6 +149,17 @@ def test_sample_packed_matches_sp1():
         assert _samples_per_program(64, 192) == 32  # bigger cap, bigger sp
         assert _samples_per_program(13, 160) == 13  # whole batch now fits
         assert _samples_per_program(64, 720) == 1   # long seqs: still 1
+        # AVSIAM_SP_MAXNP raises the packing-eligible Np (decoder A/B knob)
+        np0 = attn_mod._SP_MAX_NP
+        try:
+            attn_mod._SP_MAX_NP = 1024
+            # cap fits 11 samples (8192 // 720) but the divisor rule picks
+            # 8 (zero batch padding, within 2x of the cap)
+            assert _samples_per_program(64, 720) == 8
+            assert _samples_per_program(64, 512) == 16
+        finally:
+            attn_mod._SP_MAX_NP = np0
+        assert _samples_per_program(64, 720) == 1   # default restored
     finally:
         attn_mod._SP_ROW_CAP = cap0
     rng = jax.random.PRNGKey(9)
