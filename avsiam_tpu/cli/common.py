@@ -71,6 +71,10 @@ def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
     arg("--save_model", type=ast.literal_eval, default=True,
         help="save per-epoch audio_model.{e} checkpoints "
              "(traintest_cavmae_base.py:232)")
+    arg("--keep_train_states", type=int, default=1,
+        help="trailing train_state.{e} resume checkpoints to keep "
+             "(~2.9 GB each at ViT-B; resume reads only the newest; "
+             "<=0 keeps all)")
     arg("--wandb", type=int, default=0,
         help="enable wandb logging (project 'uavm', rank 0 only)")
     arg("--model_name", type=str, default="",

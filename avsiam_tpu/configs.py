@@ -214,6 +214,12 @@ class PretrainConfig:
     # --save_model gate, traintest_cavmae_base.py:232); train_state saves for
     # resume are unaffected.
     save_model: bool = True
+    # How many trailing train_state.{e} resume checkpoints to keep (~2.9 GB
+    # each at ViT-B: params + two Adam states). Resume only ever reads the
+    # newest one, and the reference likewise overwrites a single
+    # optim_state.pth (traintest_cavmae_base.py:233) — keeping them all grows
+    # disk without bound on long runs. <=0 keeps every epoch.
+    keep_train_states: int = 1
 
 
 @dataclass(frozen=True)
@@ -249,6 +255,9 @@ class FinetuneConfig:
     # False skips per-epoch audio_model.{e} params saves (--save_model,
     # traintest_ft_base.py:262); best-model + train_state saves unaffected.
     save_model: bool = True
+    # See PretrainConfig.keep_train_states; the reference FT loop likewise
+    # overwrites a single best_optim_state.pth (traintest_ft_base.py:256-258).
+    keep_train_states: int = 1
 
 
 def replace(cfg, **kwargs):

@@ -41,7 +41,8 @@ from avsiam_tpu.models.cavmae import CAVMAEPretrain
 from avsiam_tpu.models.cavmae_ft import CAVMAEFinetune
 from avsiam_tpu.train import finetune as ft
 from avsiam_tpu.train import pretrain as pt
-from avsiam_tpu.utils.checkpoint import (average_checkpoints, save_params,
+from avsiam_tpu.utils.checkpoint import (average_checkpoints,
+                                         prune_train_states, save_params,
                                          transfer_pretrain_to_ft)
 
 
@@ -342,6 +343,8 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
         if cfg.save_model:  # --save_model gate (traintest_cavmae_base.py:232)
             save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
+        if main:
+            prune_train_states(cfg.exp_dir, cfg.keep_train_states)
         result_rows.append(row)
         mlog.log(row, step=global_step)
         if main:
@@ -531,6 +534,8 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
         if cfg.save_model:  # --save_model gate (traintest_ft_base.py:262)
             save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
         save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
+        if main:
+            prune_train_states(cfg.exp_dir, cfg.keep_train_states)
         rows.append(row)
         mlog.log(row, step=global_step)
         if main:

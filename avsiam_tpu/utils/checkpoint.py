@@ -85,6 +85,29 @@ def save_train_state(exp_dir: str, name, state) -> str:
     return path
 
 
+def prune_train_states(exp_dir: str, keep: int) -> None:
+    """Delete all but the ``keep`` newest ``train_state.{epoch}`` resume
+    checkpoints under ``exp_dir/models``. Resume reads only the newest one
+    (train/loops.py:_latest_train_state_epoch), and the reference keeps a
+    single overwritten optim state file (traintest_cavmae_base.py:233), so
+    pruning bounds the ~2.9 GB/epoch disk growth without losing anything a
+    resume can use. ``keep <= 0`` keeps everything. Call from the main
+    process only, after the epoch's save has completed."""
+    if keep <= 0:
+        return
+    import re
+    import shutil
+    mdir = os.path.join(exp_dir, "models")
+    if not os.path.isdir(mdir):
+        return
+    epochs = sorted(
+        int(m.group(1)) for n in os.listdir(mdir)
+        if (m := re.fullmatch(r"train_state\.(\d+)", n)))
+    for e in epochs[:-keep] if keep < len(epochs) else []:
+        shutil.rmtree(os.path.join(mdir, f"train_state.{e}"),
+                      ignore_errors=True)
+
+
 def restore_train_state(exp_dir: str, name, like):
     """Restore into the structure of ``like`` (a TrainState namedtuple)."""
     path = _path(exp_dir, name)

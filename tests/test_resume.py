@@ -68,6 +68,9 @@ def test_pretrain_resume_continues(tmp_path, index_json):
     # run epochs 1-2
     out1 = run_pretrain(cfg, ds, max_steps_per_epoch=1, log=lambda *a: None)
     assert os.path.exists(tmp_path / "exp" / "models" / "train_state.2")
+    # default keep_train_states=1: epoch 1's resume state was pruned after
+    # epoch 2's save (resume only reads the newest; ~2.9 GB each at ViT-B)
+    assert not os.path.exists(tmp_path / "exp" / "models" / "train_state.1")
     # resume: no epochs left -> returns immediately with restored state AND
     # the restored history (a resumed run must append to result.csv, never
     # rewrite it from empty — that would erase the pre-crash epochs)
@@ -77,3 +80,18 @@ def test_pretrain_resume_continues(tmp_path, index_json):
     assert [int(r["epoch"]) for r in out2["rows"]] == [1, 2]
     for got, ref in zip(out2["rows"], out1["rows"]):
         assert abs(got["loss"] - ref["loss"]) < 1e-4
+
+
+def test_prune_train_states(tmp_path):
+    from avsiam_tpu.utils.checkpoint import prune_train_states
+    mdir = tmp_path / "models"
+    for e in (1, 2, 3, 10):
+        (mdir / f"train_state.{e}").mkdir(parents=True)
+    (mdir / "audio_model.3").mkdir()  # params saves are never pruned
+    prune_train_states(str(tmp_path), keep=2)
+    kept = sorted(os.listdir(mdir))
+    assert kept == ["audio_model.3", "train_state.10", "train_state.3"]
+    # keep <= 0 disables pruning; keep larger than available is a no-op
+    prune_train_states(str(tmp_path), keep=0)
+    prune_train_states(str(tmp_path), keep=5)
+    assert sorted(os.listdir(mdir)) == kept
