@@ -75,6 +75,9 @@ def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
         help="trailing train_state.{e} resume checkpoints to keep "
              "(~2.9 GB each at ViT-B; resume reads only the newest; "
              "<=0 keeps all)")
+    arg("--train_state_every", type=int, default=1,
+        help="save the resume train_state every N epochs (final epoch "
+             "always saved; 1 = per-epoch, the reference behavior)")
     arg("--wandb", type=int, default=0,
         help="enable wandb logging (project 'uavm', rank 0 only)")
     arg("--model_name", type=str, default="",

@@ -120,7 +120,8 @@ def main(argv=None):
         parity_optimizer=bool(args.parity_optimizer),
         n_print_steps=args.n_print_steps, seed=args.seed,
         exp_dir=args.exp_dir, save_model=bool(args.save_model),
-        keep_train_states=args.keep_train_states)
+        keep_train_states=args.keep_train_states,
+        train_state_every=args.train_state_every)
     nf = model_cfg.num_eval_frames
     train_ds = dataset_from_args(args, args.data_train, train=True,
                                  label_smooth=args.label_smooth,

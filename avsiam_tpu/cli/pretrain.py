@@ -123,7 +123,8 @@ def main(argv=None):
         mae_loss_weight=args.mae_loss_weight,
         n_print_steps=args.n_print_steps, seed=args.seed,
         exp_dir=args.exp_dir, save_model=bool(args.save_model),
-        keep_train_states=args.keep_train_states)
+        keep_train_states=args.keep_train_states,
+        train_state_every=args.train_state_every)
     train_ds = dataset_from_args(args, args.data_train, train=True,
                                  num_mel_bins=mel,
                                  im_res=model_cfg.vit.img_size)

@@ -220,6 +220,13 @@ class PretrainConfig:
     # optim_state.pth (traintest_cavmae_base.py:233) — keeping them all grows
     # disk without bound on long runs. <=0 keeps every epoch.
     keep_train_states: int = 1
+    # Save the resume train_state only every N epochs (the final epoch is
+    # always saved). 1 = per-epoch, the reference behavior
+    # (traintest_cavmae_base.py:233 writes optim state every epoch). On a
+    # slow-IO host a full ViT-B state save costs minutes; many-epoch runs
+    # over small data can't afford it per epoch. Skipped epochs simply make
+    # a --resume restart from the last saved one.
+    train_state_every: int = 1
 
 
 @dataclass(frozen=True)
@@ -258,6 +265,8 @@ class FinetuneConfig:
     # See PretrainConfig.keep_train_states; the reference FT loop likewise
     # overwrites a single best_optim_state.pth (traintest_ft_base.py:256-258).
     keep_train_states: int = 1
+    # See PretrainConfig.train_state_every.
+    train_state_every: int = 1
 
 
 def replace(cfg, **kwargs):

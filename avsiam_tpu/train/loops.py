@@ -342,9 +342,10 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
             row.update({f"probe_{k}": v for k, v in probe.items()})
         if cfg.save_model:  # --save_model gate (traintest_cavmae_base.py:232)
             save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
-        save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
-        if main:
-            prune_train_states(cfg.exp_dir, cfg.keep_train_states)
+        if epoch % max(cfg.train_state_every, 1) == 0 or epoch == cfg.n_epochs:
+            save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
+            if main:
+                prune_train_states(cfg.exp_dir, cfg.keep_train_states)
         result_rows.append(row)
         mlog.log(row, step=global_step)
         if main:
@@ -533,9 +534,10 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
                 sched.step(metric)  # traintest_ft_base.py:266-270
         if cfg.save_model:  # --save_model gate (traintest_ft_base.py:262)
             save_params(cfg.exp_dir, f"audio_model.{epoch}", state.params)
-        save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
-        if main:
-            prune_train_states(cfg.exp_dir, cfg.keep_train_states)
+        if epoch % max(cfg.train_state_every, 1) == 0 or epoch == cfg.n_epochs:
+            save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
+            if main:
+                prune_train_states(cfg.exp_dir, cfg.keep_train_states)
         rows.append(row)
         mlog.log(row, step=global_step)
         if main:

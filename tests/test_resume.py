@@ -82,6 +82,23 @@ def test_pretrain_resume_continues(tmp_path, index_json):
         assert abs(got["loss"] - ref["loss"]) < 1e-4
 
 
+def test_train_state_every_skips_intermediate_saves(tmp_path, index_json):
+    from avsiam_tpu.configs import replace
+    from avsiam_tpu.data.dataset import AVDataset
+    from avsiam_tpu.train.loops import run_pretrain
+    cfg = replace(_cfg(tmp_path), n_epochs=3, train_state_every=2,
+                  keep_train_states=0)
+    ds = AVDataset(index_json, TINY_AUDIO, n_class=3, mode="train",
+                   frame_source="synthetic", im_res=32)
+    run_pretrain(cfg, ds, max_steps_per_epoch=1, log=lambda *a: None)
+    mdir = tmp_path / "exp" / "models"
+    # epoch 2 matches the interval; the final epoch (3) is always saved so
+    # --resume can restart from the end of the run; epoch 1 was skipped
+    assert os.path.exists(mdir / "train_state.2")
+    assert os.path.exists(mdir / "train_state.3")
+    assert not os.path.exists(mdir / "train_state.1")
+
+
 def test_prune_train_states(tmp_path):
     from avsiam_tpu.utils.checkpoint import prune_train_states
     mdir = tmp_path / "models"
