@@ -187,3 +187,48 @@ def dump_args(args, exp_dir: str):
 def jnp_dtype(name: str):
     import jax.numpy as jnp
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def setup_wandb(args, project: str = "uavm"):
+    """Shared --wandb env wiring: MetricsLogger attaches wandb when
+    WANDB_PROJECT is set; 'uavm' is the reference's project name
+    (run_cavmae_pretrain_base.py:118, run_cavmae_ft_base.py:157)."""
+    if not getattr(args, "wandb", False):
+        return
+    os.environ.setdefault("WANDB_PROJECT", project)
+    if getattr(args, "model_name", None):
+        os.environ.setdefault("WANDB_NAME", args.model_name)
+
+
+def balance_weights_from_args(args, n_samples: int):
+    """Per-sample balanced-sampling weights, or None.
+
+    Reference semantics: ONLY the literal --bal 'bal' activates balanced
+    sampling (run_cavmae_ft_base.py:184 ``if args.bal == 'bal'``); the
+    recipes pass the STRING "None" when off, which must not be truthy.
+    The reference loads the weights CSV whenever bal is set
+    (run_cavmae_ft_base.py:184-200) — silently training unweighted would
+    change dynamics with no signal to the user, hence the loud failures.
+    The length must match the training index exactly: a short file would
+    silently zero the tail's sampling probability, a long one draws
+    out-of-range dataset indices mid-epoch.
+    """
+    if args.bal == "bal":
+        if not args.weight_file:
+            raise SystemExit("--bal requires --weight_file (per-sample "
+                             "balance weights CSV; scripts/gen_weights.py)")
+        import numpy as np
+        w = np.atleast_1d(np.loadtxt(args.weight_file, delimiter=","))
+        if w.ndim != 1 or len(w) != n_samples:
+            raise SystemExit(
+                f"--weight_file {args.weight_file}: {w.shape} weights for "
+                f"{n_samples} training samples — must be one weight per "
+                "sample (regenerate with scripts/gen_weights.py)")
+        return w
+    if args.bal not in (None, "", "None", "none", "False"):
+        print(f"warning: --bal {args.bal!r} != 'bal'; unbalanced sampling "
+              "(reference semantics: only 'bal' activates)")
+    if args.weight_file:
+        print("warning: --weight_file given without --bal bal; weighted "
+              "sampling is OFF")
+    return None

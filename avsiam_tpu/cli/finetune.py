@@ -12,7 +12,6 @@ import argparse
 import ast
 import os
 
-import numpy as np
 
 from avsiam_tpu.cli.common import (add_common_args, audio_config_from_args,
                                    dataset_from_args, dump_args, jnp_dtype,
@@ -91,12 +90,8 @@ def main(argv=None):
     apply_platform_override()
     args = build_parser().parse_args(argv)
     dump_args(args, args.exp_dir)
-    if args.wandb:
-        # MetricsLogger attaches wandb when WANDB_PROJECT is set; 'uavm' is
-        # the reference's project name (run_cavmae_ft_base.py:157)
-        os.environ.setdefault("WANDB_PROJECT", "uavm")
-        if args.model_name:
-            os.environ.setdefault("WANDB_NAME", args.model_name)
+    from avsiam_tpu.cli.common import setup_wandb, balance_weights_from_args
+    setup_wandb(args)
     from avsiam_tpu.configs import replace
     from avsiam_tpu.models.variants import finetune_config
     model_cfg = finetune_config(args.model, label_dim=args.n_class,
@@ -131,25 +126,7 @@ def main(argv=None):
                                 num_mel_bins=mel,
                                 im_res=model_cfg.vit.img_size, num_frames=nf)
               if args.data_val else None)
-    weights = None
-    # reference semantics: ONLY the literal value 'bal' activates balanced
-    # sampling (run_cavmae_ft_base.py:184 `if args.bal == 'bal'`); recipes
-    # pass the STRING "None" when off, which must not be treated as truthy
-    if args.bal == "bal":
-        # loud failure: the reference loads the weights CSV whenever bal is
-        # set (run_cavmae_ft_base.py:184-200) — silently training unweighted
-        # would change dynamics with no signal to the user
-        if not args.weight_file:
-            raise SystemExit("--bal requires --weight_file (per-sample "
-                             "balance weights CSV; scripts/gen_weights.py)")
-        weights = np.loadtxt(args.weight_file, delimiter=",")
-    else:
-        if args.bal not in (None, "", "None", "none", "False"):
-            print(f"warning: --bal {args.bal!r} != 'bal'; unbalanced "
-                  "sampling (reference semantics: only 'bal' activates)")
-        if args.weight_file:
-            print("warning: --weight_file given without --bal bal; weighted "
-                  "sampling is OFF")
+    weights = balance_weights_from_args(args, len(train_ds))
     init_params = _load_init_params(args, cfg)
     out = run_finetune(cfg, train_ds, val_ds, init_params=init_params,
                        mesh=mesh,

@@ -93,13 +93,8 @@ def main(argv=None):
     apply_platform_override()
     args = build_parser().parse_args(argv)
     dump_args(args, args.exp_dir)
-    if args.wandb:
-        # MetricsLogger attaches wandb when WANDB_PROJECT is set; 'uavm' is
-        # the reference's project name (run_cavmae_pretrain_base.py:118)
-        import os
-        os.environ.setdefault("WANDB_PROJECT", "uavm")
-        if args.model_name:
-            os.environ.setdefault("WANDB_NAME", args.model_name)
+    from avsiam_tpu.cli.common import setup_wandb, balance_weights_from_args
+    setup_wandb(args)
     from avsiam_tpu.configs import replace
     from avsiam_tpu.models.variants import pretrain_config
     model_cfg = pretrain_config(args.model, dtype=jnp_dtype(args.dtype),
@@ -140,13 +135,7 @@ def main(argv=None):
                                    num_mel_bins=mel,
                                    im_res=model_cfg.vit.img_size)
                  if args.probe_data_val else None)
-    weights = None
-    if args.bal == "bal":  # reference: only the literal 'bal' activates
-        if not args.weight_file:
-            raise SystemExit("--bal requires --weight_file (per-sample "
-                             "balance weights CSV; scripts/gen_weights.py)")
-        import numpy as np
-        weights = np.loadtxt(args.weight_file, delimiter=",")
+    weights = balance_weights_from_args(args, len(train_ds))
     out = run_pretrain(cfg, train_ds, val_ds,
                        probe_train_ds=probe_train, probe_val_ds=probe_val,
                        probe_n_class=args.n_class,

@@ -655,7 +655,8 @@ _SP_ROW_CAP = int(os.environ.get("AVSIAM_SP_ROWS", "8192"))
 # (sp=1) for every long sequence (decoder Np=720, full-audio Np=512) — at
 # those sizes per-program cost is already amortized over Np^2 work. Knob for
 # the VERDICT-r3 "re-sweep sp-packing at N=720" A/B (e.g. 1024 lets the
-# decoder pack sp=11 at the 8192-row cap).
+# decoder pack: _samples_per_program(64, 720) = 8, the largest divisor of
+# B=64 with 8*720 <= the 8192-row cap — measured-negative, BENCH_NOTES.md).
 _SP_MAX_NP = int(os.environ.get("AVSIAM_SP_MAXNP", "511"))
 
 

@@ -265,6 +265,10 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
         for r in result_rows:
             if "eval_loss" in r:
                 sched.step(-r["eval_loss"])
+        if val_ds is None:
+            log("warning: --lr_adapt True without --data-val: the plateau "
+                "scheduler never sees a metric, so lr stays constant at "
+                f"{cfg.opt.lr} (MultiStepLR would still decay on schedule)")
     meters = {k: AverageMeter() for k in
               ("loss", "loss_mae_a", "loss_mae_v", "loss_c", "per_sample_time",
                "per_sample_data_time", "per_sample_dnn_time")}
@@ -331,7 +335,9 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
             if row.get("eval_loss", np.inf) < best_loss:
                 best_loss, best_epoch = row["eval_loss"], epoch
                 save_params(cfg.exp_dir, "best_audio_model", state.params)
-            if sched is not None:
+            if sched is not None and "eval_loss" in row:
+                # guard: a val slab that rounds to zero batches yields an
+                # empty row (same reason the best-ckpt check uses .get)
                 sched.step(-row["eval_loss"])  # cavmae_base.py:236-237
         if probe_train_ds is not None and probe_val_ds is not None:
             # per-epoch linear probe (traintest_cavmae_base.py:250-252)
@@ -405,6 +411,13 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
                  resume: bool = False, log: Callable = print) -> Dict:
     from avsiam_tpu.utils.checkpoint import (restore_train_state,
                                              save_train_state)
+    if wa and not cfg.save_model:
+        # fail BEFORE training: averaging restores the per-epoch
+        # audio_model.{e} checkpoints (run_cavmae_ft_base.py:169-180) that
+        # --save_model False never writes — catching this after n_epochs of
+        # compute would waste the whole run
+        raise ValueError("--wa True requires --save_model True (weight "
+                         "averaging reads the per-epoch checkpoints)")
     model = CAVMAEFinetune(cfg.model)
     rng = jax.random.PRNGKey(cfg.seed)
     sample = train_ds.batch([0, 1], np.random.RandomState(0))
@@ -454,6 +467,10 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
         for r in rows:
             if metric_key in r:
                 sched.step(r[metric_key])
+        if val_ds is None:
+            log("warning: --lr_adapt True without --data-val: the plateau "
+                "scheduler never sees a metric, so lr stays constant at "
+                f"{cfg.opt.lr} (MultiStepLR would still decay on schedule)")
     global_step = int(jax.device_get(state.step))
     # FT loop meters the same per-sample total/data/DNN split as pretrain
     # (traintest_ft_base.py:117-147 mirrors traintest_cavmae_base.py:118-120)
@@ -544,6 +561,12 @@ def run_finetune(cfg: FinetuneConfig, train_ds: AVDataset,
             _write_csv(os.path.join(cfg.exp_dir, "result.csv"), rows)
         if non_improving >= 3:  # traintest_ft_base.py:249-251
             log("early stop")
+            if epoch % max(cfg.train_state_every, 1) != 0:
+                # keep the 'final epoch always saved' resume guarantee
+                # (cli/common.py --train_state_every) across the early exit
+                save_train_state(cfg.exp_dir, f"train_state.{epoch}", state)
+                if main:
+                    prune_train_states(cfg.exp_dir, cfg.keep_train_states)
             break
 
     out = {"state": state, "best_epoch": best_epoch, "best": best_metric,

@@ -335,3 +335,62 @@ def test_run_pretrain_balanced_sampling(tmp_path, index_json):
                        max_steps_per_epoch=2, log=lambda *a: None)
     assert not out.get("diverged")
     assert os.path.exists(tmp_path / "bal" / "models" / "audio_model.1")
+
+
+def test_balance_weights_from_args_validates_length(tmp_path):
+    """--bal bal weight files must cover the train index exactly: short
+    files silently zero the tail's sampling probability, long ones draw
+    out-of-range indices mid-epoch (run_cavmae_ft_base.py:184-200 loads the
+    CSV unconditionally whenever bal is set)."""
+    import argparse
+    from avsiam_tpu.cli.common import balance_weights_from_args
+    wf = tmp_path / "w.csv"
+    wf.write_text("\n".join(["1.0"] * 8))
+    ns = argparse.Namespace(bal="bal", weight_file=str(wf))
+    w = balance_weights_from_args(ns, 8)
+    assert w is not None and len(w) == 8
+    with pytest.raises(SystemExit):
+        balance_weights_from_args(ns, 6)   # file longer than the index
+    with pytest.raises(SystemExit):
+        balance_weights_from_args(ns, 10)  # file shorter than the index
+    with pytest.raises(SystemExit):
+        balance_weights_from_args(
+            argparse.Namespace(bal="bal", weight_file=None), 8)
+    # the recipes' literal "None" string must NOT activate weighting
+    assert balance_weights_from_args(
+        argparse.Namespace(bal="None", weight_file=None), 8) is None
+
+
+def test_wa_without_save_model_fails_fast(tmp_path, index_json):
+    """--wa averages the per-epoch audio_model.{e} checkpoints that
+    --save_model False never writes; that contradiction must fail before
+    training, not after n_epochs of compute."""
+    from avsiam_tpu.train.loops import run_finetune
+    cfg = FinetuneConfig(
+        model=CAVMAEFTConfig(vit=TINY_VIT, label_dim=3, num_eval_frames=3),
+        audio=TINY_AUDIO, opt=OptimizerConfig(lr=1e-4), batch_size=4,
+        n_epochs=1, save_model=False, exp_dir=str(tmp_path / "wa"))
+    with pytest.raises(ValueError, match="save_model"):
+        run_finetune(cfg, _ds(index_json), wa=True, log=lambda *a: None)
+
+
+def test_early_stop_saves_final_train_state(tmp_path, index_json,
+                                            monkeypatch):
+    """Early stop must uphold the '--train_state_every: final epoch always
+    saved' resume guarantee even when the stop epoch isn't on the periodic
+    schedule (a later --resume would otherwise silently redo epochs)."""
+    import avsiam_tpu.train.loops as loops
+    # constant metric -> epoch 1 improves from -inf, 2-4 don't -> stop at 4
+    monkeypatch.setattr(
+        loops, "validate_ft",
+        lambda *a, **k: ([{"AP": 0.5, "auc": 0.5, "acc": 0.5}], 0.1))
+    cfg = FinetuneConfig(
+        model=CAVMAEFTConfig(vit=TINY_VIT, label_dim=3, num_eval_frames=3),
+        audio=TINY_AUDIO, opt=OptimizerConfig(lr=1e-4), batch_size=4,
+        n_epochs=8, train_state_every=10, n_print_steps=100,
+        exp_dir=str(tmp_path / "es"))
+    out = loops.run_finetune(cfg, _ds(index_json),
+                             _ds(index_json, train=False),
+                             max_steps_per_epoch=1, log=lambda *a: None)
+    assert max(int(r["epoch"]) for r in out["rows"]) == 4  # early-stopped
+    assert os.path.exists(tmp_path / "es" / "models" / "train_state.4")

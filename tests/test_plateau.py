@@ -16,7 +16,7 @@ from avsiam_tpu.train.optim import PlateauScheduler, plateau_scheduler
 
 
 def _torch_lrs(metrics, lr, **kw):
-    import torch
+    torch = pytest.importorskip("torch")  # skip, not error, without torch
     p = torch.nn.Parameter(torch.zeros(1))
     opt = torch.optim.Adam([p], lr=lr)
     sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **kw)
