@@ -2,6 +2,10 @@
 
 Usage: python scripts/bench_matrix.py B ATTN MMIXED [ITERS] [MLP] [GELU]
 Prints one line: config + clips/s + ms/step.
+
+AVSIAM_BENCH_MODEL selects a backbone variant preset (e.g. cav-mae-large,
+cav-mae-huge; default cav-mae-base) so the bytecode-only reference variants
+(models/__init__.py:8-17) can be measured at full geometry on the chip.
 """
 
 import sys
@@ -23,8 +27,7 @@ except Exception:
 
 import jax.numpy as jnp
 
-from avsiam_tpu.configs import (CAVMAEConfig, OptimizerConfig,
-                                PretrainConfig, ViTConfig, replace)
+from avsiam_tpu.configs import OptimizerConfig, PretrainConfig, replace
 from avsiam_tpu.models import CAVMAEPretrain
 from avsiam_tpu.train.pretrain import init_state, make_pretrain_step
 
@@ -47,15 +50,20 @@ def main():
     dec_mlp = None
     if "+" in mlp:  # 'ENC+DEC', e.g. 'dense+fbwd'
         mlp, dec_mlp = mlp.split("+", 1)
-    mcfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl=attn,
-                        mmixed_impl=mmixed, mlp_impl=mlp,
-                        dec_mlp_impl=dec_mlp, remat_blocks=remat,
-                        vit=replace(ViTConfig(), gelu=gelu))
+    model_name = os.environ.get("AVSIAM_BENCH_MODEL", "cav-mae-base")
+    from avsiam_tpu.models.variants import pretrain_config
+    mcfg = pretrain_config(model_name, dtype=jnp.bfloat16, attn_impl=attn,
+                           mmixed_impl=mmixed, mlp_impl=mlp,
+                           dec_mlp_impl=dec_mlp, remat_blocks=remat)
+    mcfg = replace(mcfg, vit=replace(mcfg.vit, gelu=gelu))
     cfg = PretrainConfig(model=mcfg, opt=OptimizerConfig(), batch_size=B)
     model = CAVMAEPretrain(mcfg)
     rng = jax.random.PRNGKey(0)
-    a = jax.random.normal(rng, (B, 1024, 128), jnp.float32)
-    v = jax.random.normal(rng, (B, 3, 224, 224), jnp.float32)
+    vit = mcfg.vit
+    a = jax.random.normal(rng, (B, vit.audio_length, vit.mel_bins),
+                          jnp.float32)
+    v = jax.random.normal(rng, (B, 3, vit.img_size, vit.img_size),
+                          jnp.float32)
     t0 = time.perf_counter()
     state = init_state(rng, model, cfg, (a, v))
     step = make_pretrain_step(model, cfg)
@@ -69,6 +77,8 @@ def main():
     float(jax.device_get(m["loss"]))
     dt = (time.perf_counter() - t0) / iters
     mlp_desc = mlp if dec_mlp is None else f"{mlp}+{dec_mlp}"
+    if model_name != "cav-mae-base":
+        print(f"model={model_name}", end="  ")
     print(f"B={B:3d} attn={attn:6s} mmixed={mmixed:6s} mlp={mlp_desc:5s} "
           f"gelu={gelu:4s} remat={int(remat)}: "
           f"{B / dt:7.1f} clips/s  {dt * 1000:7.1f} ms/step  "
