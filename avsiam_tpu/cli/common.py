@@ -22,6 +22,36 @@ def apply_platform_override():
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    _enable_compile_cache()
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for the CLI runners.
+
+    A full train-step compile costs 3-8 minutes on a remote-compile TPU
+    backend; reruns of the same config (restarts, --resume, recipe sweeps)
+    should not pay it twice. Default dir ~/.cache/avsiam_jax, override with
+    AVSIAM_COMPILE_CACHE=<dir>, disable with AVSIAM_COMPILE_CACHE= (empty).
+    Safe across concurrent processes (JAX writes entries atomically)."""
+    cache = os.environ.get("AVSIAM_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/avsiam_jax"))
+    if not cache:
+        return
+    import jax
+    # CPU compiles are seconds, and XLA:CPU AOT cache entries replay with
+    # machine-feature mismatch warnings (risking SIGILL on heterogeneous
+    # hosts) — only accelerator backends benefit. Check the jax.config value
+    # first (a sitecustomize hook may have set the platform programmatically,
+    # same reason apply_platform_override exists), then the env var. Neither
+    # forces backend init, so `--help` stays instant.
+    plat = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if plat.startswith("cpu"):
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob: run uncached
 
 
 def add_common_args(p: argparse.ArgumentParser, ft: bool = False):

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     # run_cavmae_pretrain_base.py:146-163)
     p.add_argument("--probe_data_train", type=str, default=None)
     p.add_argument("--probe_data_val", type=str, default=None)
+    p.add_argument("--val_interval", type=int, default=1,
+                   help="validate every N epochs (always on the last; "
+                        "1 = reference behavior)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest train_state checkpoint")
     p.add_argument("--weight_file", type=str, default=None,
@@ -119,7 +122,8 @@ def main(argv=None):
         n_print_steps=args.n_print_steps, seed=args.seed,
         exp_dir=args.exp_dir, save_model=bool(args.save_model),
         keep_train_states=args.keep_train_states,
-        train_state_every=args.train_state_every)
+        train_state_every=args.train_state_every,
+        val_interval=args.val_interval)
     train_ds = dataset_from_args(args, args.data_train, train=True,
                                  num_mel_bins=mel,
                                  im_res=model_cfg.vit.img_size)

@@ -227,6 +227,13 @@ class PretrainConfig:
     # over small data can't afford it per epoch. Skipped epochs simply make
     # a --resume restart from the last saved one.
     train_state_every: int = 1
+    # Validate (and run best-checkpoint tracking / plateau-scheduler steps)
+    # only every N epochs; the final epoch is always validated. 1 = the
+    # reference behavior (validate every epoch, traintest_cavmae_base.py:192).
+    # On short-epoch runs (small datasets / large batch) per-epoch eval +
+    # the best_audio_model save it triggers can dominate wall-clock; train
+    # meters still land in result.csv/metrics.jsonl every epoch.
+    val_interval: int = 1
 
 
 @dataclass(frozen=True)

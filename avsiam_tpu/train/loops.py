@@ -326,7 +326,12 @@ def run_pretrain(cfg: PretrainConfig, train_ds: AVDataset,
         row = {"epoch": epoch, "lr": lr,
                **{k: meters[k].avg for k in
                   ("loss", "loss_mae_a", "loss_mae_v", "loss_c")}}
-        if val_ds is not None:
+        # --val_interval: skipped epochs omit the eval_* columns entirely
+        # (result.csv stays well-formed; resume/plateau replay both key on
+        # the presence of eval_loss). The final epoch always validates.
+        if val_ds is not None and (
+                epoch % max(cfg.val_interval, 1) == 0
+                or epoch == cfg.n_epochs):
             row.update(validate_pretrain(eval_fn, state.params, val_ds, cfg,
                                          sharding=sharding,
                                          max_steps=max_steps_per_epoch))

@@ -8,10 +8,13 @@
 # memorized pairs through this same two-pass step. Constant lr
 # (--lrscheduler_start 1000: the MultiStepLR decay never fires inside the
 # run; a decaying lr stalls memorization — see the README). --data-val is
-# the TRAIN set itself: the per-epoch eval_loss_c dropping below ln(32)
-# IS the memorization evidence, and makes best_audio_model track it
-# (random held-out pairs carry no signal for this leg — leg 1 covers
-# held-out generalization of the MAE losses).
+# the TRAIN set itself: eval_loss_c dropping below ln(32) IS the
+# memorization evidence, and makes best_audio_model track it (random
+# held-out pairs carry no signal for this leg — leg 1 covers held-out
+# generalization of the MAE losses). --val_interval 8: at 2 steps/epoch
+# the per-epoch eval + the best_audio_model save it triggers (~800 MB
+# D2H through the tunnel, 45-100 s measured) would dominate wall-clock;
+# the per-epoch train loss_c in metrics.jsonl is the primary curve.
 #
 # Usage: EXP=/root/soak_mem bash scripts/soak_mem.sh
 # Reference evidence target: traintest_cavmae_base.py:192-252 loss curves.
@@ -47,7 +50,8 @@ python -m avsiam_tpu.cli.pretrain \
   --frame_source synthetic --batch-size "$B" --lr 2e-4 \
   --lrscheduler_start 1000 \
   --n-print-steps 8 --n-epochs "$EPOCHS" --exp-dir "$EXP/exp" \
-  --save_model False --train_state_every 16 --keep_train_states 1
+  --save_model False --train_state_every 48 --keep_train_states 1 \
+  --val_interval 8
 
 echo "== retrieval proxy on the 32-clip train gallery (best_audio_model) =="
 python -m avsiam_tpu.cli.retrieval \

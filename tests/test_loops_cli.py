@@ -59,6 +59,27 @@ def test_run_pretrain_epoch(tmp_path, index_json):
     assert "eval_loss" in out["rows"][0]
 
 
+def test_run_pretrain_val_interval(tmp_path, index_json):
+    """--val_interval N: eval/best-tracking only on epochs N, 2N, ... and
+    the final epoch; skipped epochs still log train meters (result.csv rows
+    without eval_* columns) and the CSV survives a read-back round trip."""
+    from avsiam_tpu.train.loops import _read_csv, run_pretrain
+    cfg = PretrainConfig(
+        model=CAVMAEConfig(vit=TINY_VIT, decoder=TINY_DEC),
+        audio=TINY_AUDIO, opt=OptimizerConfig(lr=1e-4), batch_size=4,
+        n_epochs=3, n_print_steps=1, exp_dir=str(tmp_path / "exp"),
+        save_model=False, val_interval=2)
+    out = run_pretrain(cfg, _ds(index_json), _ds(index_json, train=False),
+                       max_steps_per_epoch=1, log=lambda *a: None)
+    rows = out["rows"]
+    assert [("eval_loss" in r) for r in rows] == [False, True, True]
+    # epoch 3 validated because it is the final epoch, not a multiple of 2
+    assert os.path.exists(tmp_path / "exp" / "models" / "best_audio_model")
+    disk = _read_csv(str(tmp_path / "exp" / "result.csv"))
+    assert [("eval_loss" in r) for r in disk] == [False, True, True]
+    assert [r["epoch"] for r in disk] == [1, 2, 3]
+
+
 def test_run_finetune_epoch_and_probe(tmp_path, index_json):
     from avsiam_tpu.train.loops import linear_probe, run_finetune
     cfg = FinetuneConfig(
