@@ -36,7 +36,7 @@ def test_sharded_info_nce_matches_single_device():
 
 
 def test_shardmap_all_gather_formulation_matches():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # moved out of jax.experimental in jax 0.8
     mesh = make_mesh(MeshConfig(data=8, model=1))
     rng = jax.random.PRNGKey(0)
     a = jax.random.normal(rng, (16, 32))
