@@ -120,7 +120,7 @@ def add_common_args(p: argparse.ArgumentParser, ft: bool = False):
     arg("--timem", type=int, default=0)
     arg("--seed", type=int, default=87)
     arg("--frame_source", type=str, default="frames",
-        choices=["frames", "video", "synthetic"])
+        choices=["frames", "video", "synthetic", "synthetic_paired"])
     arg("--max_steps_per_epoch", type=int, default=None,
         help="cap steps per epoch (smoke runs)")
     arg("--dtype", type=str, default="bfloat16",

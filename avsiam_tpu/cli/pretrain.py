@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     # run_cavmae_pretrain_base.py:146-163)
     p.add_argument("--probe_data_train", type=str, default=None)
     p.add_argument("--probe_data_val", type=str, default=None)
+    p.add_argument("--frame_use", type=int, default=-1,
+                   help="pin the training frame index (-1 = random of 10, "
+                        "the reference behavior); opt-in determinism for "
+                        "probes")
     p.add_argument("--val_interval", type=int, default=1,
                    help="validate every N epochs (always on the last; "
                         "1 = reference behavior)")
@@ -126,7 +130,8 @@ def main(argv=None):
         val_interval=args.val_interval)
     train_ds = dataset_from_args(args, args.data_train, train=True,
                                  num_mel_bins=mel,
-                                 im_res=model_cfg.vit.img_size)
+                                 im_res=model_cfg.vit.img_size,
+                                 frame_use=args.frame_use)
     val_ds = (dataset_from_args(args, args.data_val, train=False,
                                 num_mel_bins=mel,
                                 im_res=model_cfg.vit.img_size)

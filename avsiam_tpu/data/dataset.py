@@ -58,8 +58,10 @@ class AVDataset:
     """Host-side dataset over a SampleIndex.
 
     frame_source: 'frames' (pre-extracted frame_{i}/{id}.jpg layout),
-    'video' (ffmpeg decode), or 'synthetic' (deterministic pseudo-data for
-    tests/benches without media files).
+    'video' (ffmpeg decode), 'synthetic' (deterministic independent-noise
+    pseudo-data for tests/benches without media files), or
+    'synthetic_paired' (audio and frames expose a shared per-clip latent —
+    contrastive-learnability probes; see _load_waveform).
     """
 
     def __init__(self, index_path: str, audio_conf: AudioConfig,
@@ -87,8 +89,32 @@ class AVDataset:
         return len(self.index)
 
     # ------------------------------------------------------------------
+    def _paired_latent(self, rec, d: int = 8) -> np.ndarray:
+        """Per-clip latent shared by audio and frames in 'synthetic_paired'
+        mode: sigmoid(z) in (0,1)^d, deterministic per path."""
+        z = np.random.RandomState(_stable_hash(rec.wav + "z")).randn(d)
+        return 1.0 / (1.0 + np.exp(-z))
+
     def _load_waveform(self, rec):
-        if self.frame_source == "synthetic":
+        if self.frame_source == "synthetic_paired":
+            # Tone bank amplitude-modulated by the shared latent: audio and
+            # frames expose the SAME d-dim signal, so the contrastive head
+            # has learnable, GENERALIZING audio<->visual structure. Plain
+            # 'synthetic' clips are independent noise — training on them
+            # collapses the contrastive head to the uniform ln(B) solution
+            # (the known property scripts/soak.py works around by overfitting
+            # from fresh init); this mode exists for end-to-end probes of
+            # contrastive learning through the real pipeline.
+            amps = self._paired_latent(rec)
+            rng = np.random.RandomState(_stable_hash(rec.wav))
+            t = np.arange(self.num_samples_audio, dtype=np.float32)
+            sr = float(self.audio_conf.sample_rate)
+            freqs = np.geomspace(200.0, 4000.0, num=len(amps))
+            w = sum(0.03 * a * np.sin(2 * np.pi * f * t / sr)
+                    for a, f in zip(amps, freqs))
+            w = (w + rng.randn(self.num_samples_audio) * 0.005).astype(
+                np.float32)
+        elif self.frame_source == "synthetic":
             # stable hash: Python's hash() is salted PER PROCESS, which would
             # give every rank of a multi-process run different synthetic data
             rng = np.random.RandomState(_stable_hash(rec.wav))
@@ -109,6 +135,19 @@ class AVDataset:
 
     def _load_frames(self, rec, rng: np.random.RandomState) -> np.ndarray:
         T = self.num_frames
+        if self.frame_source == "synthetic_paired":
+            # Vertical bands whose intensities are the same latent the tone
+            # bank modulates (see _load_waveform); mild per-frame noise keeps
+            # multi-frame paths (frame aggregation, random frame draw)
+            # meaningful without hiding the signal.
+            amps = self._paired_latent(rec)
+            r = np.random.RandomState(_stable_hash(rec.wav + "v"))
+            cols = np.repeat((40 + 170 * amps),
+                             -(-self.im_res // len(amps)))[:self.im_res]
+            img = np.broadcast_to(cols[None, :, None],
+                                  (self.im_res, self.im_res, 3))
+            noise = r.randint(-20, 21, (T, self.im_res, self.im_res, 3))
+            return np.clip(img[None] + noise, 0, 255).astype(np.uint8)
         if self.frame_source == "synthetic":
             r = np.random.RandomState(_stable_hash(rec.wav + "v"))
             return r.randint(0, 255, (T, self.im_res, self.im_res, 3),
@@ -193,9 +232,13 @@ class AVDataset:
             lens.append(s.wav_len)
             if frames_per_sample == 1:
                 # random frame of 10 in train; middle/frame_use in eval
-                # (src/dataloader.py:347-356,468-471)
+                # (src/dataloader.py:347-356,468-471). An explicit
+                # frame_use >= 0 pins the frame in train mode too (opt-in
+                # determinism for probes/debugging; the reference always
+                # randomizes -1-style in train)
                 if self.mode == "train":
-                    t = srng.randint(0, self.num_frames)
+                    t = (srng.randint(0, self.num_frames)
+                         if self.frame_use < 0 else self.frame_use)
                 else:
                     t = (self.num_frames // 2 if self.frame_use < 0
                          else self.frame_use)

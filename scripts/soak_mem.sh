@@ -15,6 +15,10 @@
 # the per-epoch eval + the best_audio_model save it triggers (~800 MB
 # D2H through the tunnel, 45-100 s measured) would dominate wall-clock;
 # the per-epoch train loss_c in metrics.jsonl is the primary curve.
+# --frame_use 5 pins the training frame: with the reference's
+# random-of-10 frame draw each clip presents 10 distinct noise frames,
+# multiplying the pair-memorization load ~10x — measured: 96 random-frame
+# sights stay at the ln(32) plateau (docs/artifacts/soak_r04).
 #
 # Usage: EXP=/root/soak_mem bash scripts/soak_mem.sh
 # Reference evidence target: traintest_cavmae_base.py:192-252 loss curves.
@@ -51,7 +55,7 @@ python -m avsiam_tpu.cli.pretrain \
   --lrscheduler_start 1000 \
   --n-print-steps 8 --n-epochs "$EPOCHS" --exp-dir "$EXP/exp" \
   --save_model False --train_state_every 48 --keep_train_states 1 \
-  --val_interval 8
+  --val_interval 8 --frame_use 5
 
 echo "== retrieval proxy on the 32-clip train gallery (best_audio_model) =="
 python -m avsiam_tpu.cli.retrieval \

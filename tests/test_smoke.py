@@ -171,3 +171,39 @@ def test_dataset_frame_use_selects_frame():
                              frame_use=k, **kw)
             _, f1, _, _ = ds_k.batch([0], 0, frames_per_sample=1)
             np.testing.assert_array_equal(f1[0, 0], frames10[0, k])
+        # frame_use >= 0 also pins the frame in TRAIN mode (opt-in
+        # determinism; -1 keeps the reference's random-of-10 draw)
+        kw_tr = dict(kw, mode="train")
+        ds_tr = AVDataset(idx, AudioConfig(target_length=128),
+                          frame_use=7, **kw_tr)
+        for seed in (0, 1, 2):
+            _, f1, _, _ = ds_tr.batch([0], seed, frames_per_sample=1)
+            np.testing.assert_array_equal(f1[0, 0], frames10[0, 7])
+
+
+def test_dataset_synthetic_paired_shares_latent():
+    """'synthetic_paired' clips carry the same per-clip latent in both
+    modalities (tone-bank amplitudes == frame band intensities), are
+    deterministic per path, and differ across clips."""
+    import numpy as np
+    from avsiam_tpu.configs import AudioConfig
+    from avsiam_tpu.data.dataset import AVDataset
+    import json as _json
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        idx = os.path.join(d, "i.json")
+        with open(idx, "w") as f:
+            _json.dump({"data": [{"wav": f"/p/{i}.wav", "labels": ""}
+                                 for i in range(4)]}, f)
+        ds = AVDataset(idx, AudioConfig(target_length=128), mode="train",
+                       frame_source="synthetic_paired", im_res=32, n_class=2)
+        w, fr, _, _ = ds.batch([0, 1, 2, 3], 0)
+        w2, fr2, _, _ = ds.batch([0, 1, 2, 3], 1)  # other seed: same data
+        np.testing.assert_array_equal(w, w2)
+        assert not np.array_equal(w[0], w[1])
+        assert not np.array_equal(fr[0], fr[1])
+        # frame band means recover the latent (up to affine scale)
+        amps = ds._paired_latent(ds.index[0])
+        bands = fr[0, 0].astype(np.float32).mean(axis=(0, 2))
+        bands = bands.reshape(len(amps), -1).mean(axis=1)
+        assert np.corrcoef(amps, bands)[0, 1] > 0.99
