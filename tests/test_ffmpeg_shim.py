@@ -157,7 +157,7 @@ def test_dataset_mp4_routing(tmp_path, ffmpeg_shim):
     s = ds.get(0, np.random.RandomState(0))
     # 1 s of shim audio at 16 kHz, mean-centered then fit to the buffer
     assert s.wav_len == min(16000, ds.num_samples_audio)
-    assert np.isfinite(s.wav).all() and np.abs(s.wav).max() > 0.3
+    assert np.isfinite(s.waveform).all() and np.abs(s.waveform).max() > 0.3
     assert s.frames.shape == (4, 32, 32, 3)
     # frame identities survive the pipeline: linspace over 25 shim frames
     assert list(s.frames[:, 0, 0, 0]) == [0, 8, 16, 24] or \
@@ -174,7 +174,7 @@ def test_dataset_broken_mp4_fallback(tmp_path, ffmpeg_shim, capsys):
     ds = AVDataset(idx, conf, label_csv=csvp, mode="train",
                    frame_source="video", im_res=32, num_frames=4)
     s = ds.get(0, np.random.RandomState(0))
-    np.testing.assert_allclose(s.wav, 0.01)
+    np.testing.assert_allclose(s.waveform, 0.01)
     assert s.wav_len == ds.num_samples_audio
     np.testing.assert_array_equal(
         s.frames, np.full((4, 32, 32, 3), 3, dtype=np.uint8))
