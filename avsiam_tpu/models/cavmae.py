@@ -35,6 +35,7 @@ TPU-first departures (mathematically equivalent):
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import flax.linen as nn
@@ -97,10 +98,24 @@ class MAEDecoder(nn.Module):
                                      jnp.float32)
         self.modality_v = self.param("modality_v", zeros, (1, 1, d.dim),
                                      jnp.float32)
+        dec_mlp = c.dec_mlp_impl or c.mlp_impl
+        if c.dec_mlp_impl is None and c.mlp_impl == "lnfres":
+            # lnfres on BOTH encoder and decoder is measured-catastrophic on
+            # TPU (77-116 clips/s vs ~200, 2.6-4.2x slower — BENCH_NOTES.md
+            # round-4 table). When the decoder impl merely *inherits*, break
+            # the combination by falling back to 'fres' (measured flat vs
+            # lnfres on one side). An explicit dec_mlp_impl='lnfres' still
+            # opts in for A/B work.
+            dec_mlp = "fres"
+            warnings.warn(
+                "mlp_impl='lnfres' on both encoder and decoder is "
+                "measured-catastrophic on TPU; decoder falls back to 'fres'. "
+                "Set dec_mlp_impl='lnfres' explicitly to override.",
+                stacklevel=2)
         self.blocks = [
             ModalityBlock(d.dim, d.num_heads, d.mlp_ratio, True, d.ln_eps,
                           self.dtype, c.attn_impl, c.vit.gelu,
-                          c.dec_mlp_impl or c.mlp_impl, name=f"blocks_{i}")
+                          dec_mlp, name=f"blocks_{i}")
             for i in range(d.depth)
         ]
         self.norm = LayerNormFP32(d.dim, epsilon=d.ln_eps, dtype=self.dtype,

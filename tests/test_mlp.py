@@ -312,3 +312,34 @@ def test_fused_ln_mlp_under_dp_mesh():
     for name, a, b in zip(("dw1", "dw2"), gr, ref_gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_lnfres_both_sides_guard():
+    """mlp_impl='lnfres' with an *inherited* decoder impl must warn and fall
+    the decoder back to 'fres': the both-sides combination is
+    measured-catastrophic on TPU (77-116 vs ~200 clips/s, BENCH_NOTES.md
+    round-4 table). Explicit dec_mlp_impl='lnfres' still opts in silently."""
+    import warnings
+
+    from avsiam_tpu.configs import CAVMAEConfig, DecoderConfig, ViTConfig
+    from avsiam_tpu.models import CAVMAEPretrain
+
+    # lnfres requires 128-aligned dims (ops/mlp.py:fused_ln_mlp asserts)
+    vit = ViTConfig(dim=128, depth=1, num_heads=2, patch_size=16,
+                    img_size=32, audio_length=64, mel_bins=32)
+    dec = DecoderConfig(dim=128, depth=1, num_heads=2)
+    rng = jax.random.PRNGKey(0)
+    a = jax.random.normal(rng, (2, vit.audio_length, vit.mel_bins))
+    v = jax.random.normal(rng, (2, 3, vit.img_size, vit.img_size))
+    rngs = {"params": rng, "mask": rng, "perm": rng}
+
+    cfg = CAVMAEConfig(vit=vit, decoder=dec, mlp_impl="lnfres")
+    with pytest.warns(UserWarning, match="lnfres"):
+        CAVMAEPretrain(cfg).init(rngs, a, v)
+
+    # explicit decoder 'lnfres' is an opt-in: no warning
+    cfg2 = CAVMAEConfig(vit=vit, decoder=dec, mlp_impl="lnfres",
+                        dec_mlp_impl="lnfres")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        CAVMAEPretrain(cfg2).init(rngs, a, v)

@@ -183,3 +183,67 @@ def test_rank_subsample_semantics():
     assert len(wparts[0]) == len(wparts[1]) == 10
     np.testing.assert_array_equal(
         np.stack(wparts, axis=1).reshape(-1), wfull)
+
+
+def test_four_process_world(mp_results, tmp_path):
+    """World=4 (4 OS processes x 2 virtual devices, same 8-device global
+    mesh): rendezvous, contiguous-block batch assembly, the collective orbax
+    save, and the ordered eval gather all hold at a non-trivial world size,
+    and the losses still match the single-process run (bit-identical global
+    batches by construction — samplers.shuffled_epoch_indices rank blocks).
+    Reference deployment shape: egs/audioset/run_pretrain_base.sh:3-5,75."""
+    import socket
+
+    data_dir = str(tmp_path)
+    _write_dataset(data_dir)
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        port = sk.getsockname()[1]
+
+    nproc = 4
+    outs = [os.path.join(data_dir, f"out4_r{r}.json") for r in range(nproc)]
+    exp4 = os.path.join(data_dir, "exp4")
+    procs = [_run_worker([outs[r], nproc, r, port, 2, data_dir, exp4])
+             for r in range(nproc)]
+    try:
+        io = [pr.communicate(timeout=900) for pr in procs]
+    except subprocess.TimeoutExpired:
+        for pr in procs:
+            pr.kill()
+        raise
+    for r, pr in enumerate(procs):
+        assert pr.returncode == 0, (
+            f"rank {r}/4 failed:\n{io[r][0]}\n{io[r][1]}")
+
+    ranks = []
+    for o in outs:
+        with open(o) as f:
+            ranks.append(json.load(f))
+    single = mp_results["single"]
+
+    assert ranks[0]["process_count"] == 4
+    assert ranks[0]["global_devices"] == 8
+    # same losses as the 1-process/8-device run (collective-order tolerance)
+    r1, r4 = single["rows"][0], ranks[0]["rows"][0]
+    for k in ("loss", "loss_c", "loss_mae_a", "loss_mae_v"):
+        np.testing.assert_allclose(r4[k], r1[k], rtol=2e-4, err_msg=k)
+    # every rank reports identical replicated metric rows
+    for r in ranks[1:]:
+        for k, v in ranks[0]["rows"][0].items():
+            np.testing.assert_allclose(r["rows"][0][k], v, rtol=1e-6,
+                                       err_msg=k)
+    # ordered eval gather across 4 ranks: rank slabs in process order,
+    # trimmed to total = 3*4-1 = 11 rows
+    expected = np.concatenate(
+        [np.arange(6, dtype=np.float32).reshape(3, 2) + 100 * r
+         for r in range(nproc)])[:11]
+    for r in ranks:
+        np.testing.assert_array_equal(np.asarray(r["gathered"]), expected)
+    # rank-0-only prints suppressed on ranks 1-3; forced prints on all
+    for r in range(nproc):
+        out = io[r][0]
+        assert (f"FORCED-rank{r}") in out
+        assert ("RANK0ONLY world=4" in out) == (r == 0)
+    # collective checkpoint + rank-0 files written exactly once
+    assert os.path.isdir(os.path.join(exp4, "models", "audio_model.1"))
+    assert os.path.exists(os.path.join(exp4, "result.csv"))
