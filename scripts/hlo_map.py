@@ -37,7 +37,8 @@ def dump(argv):
     mmixed = argv[2] if len(argv) > 2 else "exact"
     mlp = argv[3] if len(argv) > 3 else "dense"
     gelu = argv[4] if len(argv) > 4 else "erf"
-    state, step, batch, rng = build_step(B, attn, mmixed, mlp, gelu)
+    dec_mlp = argv[5] if len(argv) > 5 else None
+    state, step, batch, rng = build_step(B, attn, mmixed, mlp, gelu, dec_mlp)
     lr = jnp.float32(2e-4)
     # build_step returns the already-jitted (donated) step
     lowered = step.lower(state, batch, rng, lr)
@@ -47,6 +48,22 @@ def dump(argv):
         f.write(txt)
     print(f"wrote {HLO_PATH}: {len(txt) / 1e6:.1f} MB, "
           f"{txt.count(chr(10))} lines")
+    # Roofline inputs from XLA's own cost model: total FLOPs and HBM bytes
+    # accessed by the compiled step. Combined with the measured envelope
+    # (BENCH_NOTES.md: ~330 GB/s HBM, ~330 TF/s bf16 GEMM stacks) this gives
+    # step-time floors: bytes/BW vs flops/peak — whichever is larger is the
+    # bound the measured step time should be judged against.
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        fl = ca.get("flops", float("nan"))
+        by = ca.get("bytes accessed", float("nan"))
+        print(f"cost_analysis: {fl / 1e12:.2f} TFLOP/step, "
+              f"{by / 1e9:.2f} GB accessed/step")
+        print(f"floors at measured envelope: compute {fl / 330e12 * 1e3:.1f} "
+              f"ms (330 TF/s), memory {by / 330e9 * 1e3:.1f} ms (330 GB/s)")
+    except Exception as e:  # cost model availability varies by backend
+        print("cost_analysis unavailable:", e)
 
 
 def load_trace_optimes():

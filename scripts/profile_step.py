@@ -1,10 +1,14 @@
 """Capture an XLA profile of the pretrain step and print a device-time
 breakdown by op category.
 
-Usage: python scripts/profile_step.py [B] [ATTN] [MMIXED] [MLP] [GELU]
+Usage: python scripts/profile_step.py [B] [ATTN] [MMIXED] [MLP] [GELU] [DECMLP]
 Writes the raw trace under /tmp/avsiam_trace/ and prints per-category device
 ms/step (fusions, pallas kernels, convert, copy/layout, dots, ...), the
 profile-driven workflow that found round 2's wins (BENCH_NOTES.md).
+
+DECMLP sets dec_mlp_impl explicitly (default: inherit MLP). Needed to profile
+the measured-catastrophic lnfres+lnfres config, which the inherit path now
+guards against (models/cavmae.py:MAEDecoder).
 """
 
 import collections
@@ -19,13 +23,14 @@ import jax
 import jax.numpy as jnp
 
 
-def build_step(B, attn, mmixed, mlp, gelu):
+def build_step(B, attn, mmixed, mlp, gelu, dec_mlp=None):
     from avsiam_tpu.configs import (CAVMAEConfig, OptimizerConfig,
                                     PretrainConfig, ViTConfig, replace)
     from avsiam_tpu.models import CAVMAEPretrain
     from avsiam_tpu.train.pretrain import init_state, make_pretrain_step
     mcfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl=attn,
                         mmixed_impl=mmixed, mlp_impl=mlp,
+                        dec_mlp_impl=dec_mlp,
                         vit=replace(ViTConfig(), gelu=gelu))
     cfg = PretrainConfig(model=mcfg, opt=OptimizerConfig(), batch_size=B)
     model = CAVMAEPretrain(mcfg)
@@ -122,10 +127,11 @@ def main():
     mmixed = sys.argv[3] if len(sys.argv) > 3 else "exact"
     mlp = sys.argv[4] if len(sys.argv) > 4 else "dense"
     gelu = sys.argv[5] if len(sys.argv) > 5 else "erf"
+    dec_mlp = sys.argv[6] if len(sys.argv) > 6 else None
     logdir = os.environ.get("TRACE_DIR", "/tmp/avsiam_trace")
     n_steps = int(os.environ.get("TRACE_STEPS", "3"))
 
-    state, step, batch, rng = build_step(B, attn, mmixed, mlp, gelu)
+    state, step, batch, rng = build_step(B, attn, mmixed, mlp, gelu, dec_mlp)
     lr = jnp.float32(2e-4)
     t0 = time.perf_counter()
     state, m = step(state, batch, rng, lr)
