@@ -18,12 +18,25 @@
 set -eo pipefail
 EXP=${EXP:-/root/transfer_ab}
 PRETRAIN_CKPT=${PRETRAIN_CKPT:?path to pretrain orbax params dir}
-NTRAIN=${NTRAIN:-128}   # FT labeled train clips (clip000400-...)
+NTRAIN=${NTRAIN:-256}   # FT labeled train clips (clip000400-...)
 NVAL=${NVAL:-64}        # FT val clips (per-epoch best-model selection)
 NEVAL=${NEVAL:-64}      # final held-out test clips
 B=${B:-16}
-EPOCHS=${EPOCHS:-12}
-LR=${LR:-1e-4}
+EPOCHS=${EPOCHS:-24}
+# Recipe history (the early stop at 3 non-improving epochs is reference
+# parity, traintest_ft_base.py:249-251, so the recipe must improve
+# monotonically from epoch 1):
+#   v1 LR=1e-4 head x50 mm x100, acc: head 5e-3/mm 1e-2 diverged (CE 9.7
+#      after 8 steps), both legs early-stopped at chance.
+#   v2 LR=1e-5 head x50 mm x100, mAP: learning was real (acc 0.08->0.17,
+#      val_loss 3.39->2.32) but mAP drifted DOWN from its epoch-1 noise
+#      peak and early-stopped the run at epoch 4.
+#   v3 (current defaults): fast head (1e-3), gentle backbone (mm 1e-4),
+#      acc selection — the head converges within the patience window.
+LR=${LR:-1e-5}
+HEAD_LR=${HEAD_LR:-100}
+MM_LR=${MM_LR:-10}
+METRICS=${METRICS:-acc}
 export AVSIAM_SMALLN=${AVSIAM_SMALLN:-pallas}
 export AVSIAM_SP_ROWS=${AVSIAM_SP_ROWS:-8192}
 export PYTHONPATH="$PYTHONPATH:$(dirname "$0")/.."
@@ -61,34 +74,30 @@ with open(f"{exp}/labels.csv", "w") as f:
         f.write(f"{i},/m/{i},c{i}\n")
 EOF
 
-run_ft () {  # $1 = run name, $2 = pretrain_path
-  echo "== FT run '$1' (pretrain_path=$2) =="
-  python -m avsiam_tpu.cli.finetune \
-    --data_train "$EXP/ft_train.json" --data_val "$EXP/ft_val.json" \
-    --data_eval "$EXP/ft_eval.json" \
-    --label_csv "$EXP/labels.csv" --n_class 8 \
-    --frame_source synthetic_paired --batch_size "$B" \
-    --pretrain_path "$2" \
-    --metrics acc --loss CE --label_smooth 0.0 \
-    --lr "$LR" --head_lr 50 --mm_lr 100 --ftmode mm_grad \
-    --lrscheduler_start 1000 \
-    --n_epochs "$EPOCHS" --n_print_steps 8 \
-    --save_model False --train_state_every "$EPOCHS" --keep_train_states 1 \
-    --exp_dir "$EXP/$1" 2>&1 | tee "$EXP/$1.log"
+# The axon pool serializes device claims: a client started while the
+# previous one's claim lingers blocks silently in backend init (observed
+# ~35 min worst case before the claim expires). Poll with a tiny throwaway
+# client until the device answers, so each leg starts against a free claim.
+wait_tpu () {
+  for i in $(seq 1 30); do
+    if timeout 120 python -c "
+import jax, jax.numpy as jnp
+print('tpu-free', float(jax.device_get(jnp.sum(jnp.ones((8,8))))))" \
+        2>/dev/null | grep -q tpu-free; then
+      return 0
+    fi
+    echo "wait_tpu: attempt $i — claim still held ($(date +%H:%M:%S))"
+  done
+  echo "wait_tpu: device never freed" >&2
+  return 1
 }
 
-run_ft pretrained "$PRETRAIN_CKPT"
-run_ft scratch None
-
-echo "== A/B summary =="
-python - "$EXP" <<'EOF'
-import csv, sys
-exp = sys.argv[1]
-for name in ("pretrained", "scratch"):
-    with open(f"{exp}/{name}/result.csv") as f:
-        rows = list(csv.DictReader(f))
-    best = max(float(r["acc"]) for r in rows if r.get("acc"))
-    print(f"{name}: best val acc {best:.4f} over {len(rows)} epochs")
-    # the final held-out eval line is printed by cli.finetune itself (tee'd
-    # into the per-run log); grep 'eval set:' in $exp/<name>.log
-EOF
+# Both legs + the linear-probe leg run in ONE process / one device claim
+# (scripts/transfer_ab_driver.py) — separate CLI processes stall for tens
+# of minutes between legs while the previous claim lingers. SOAK_EXP, if
+# set, adds a one-epoch pretrain resume with the FT indices as probe data
+# (exercises loops.linear_probe on the device).
+wait_tpu
+python scripts/transfer_ab_driver.py "$EXP" "$PRETRAIN_CKPT" "$B" \
+  "$EPOCHS" "$LR" "$HEAD_LR" "$MM_LR" "$METRICS" ${SOAK_EXP:+"$SOAK_EXP"} \
+  2>&1 | tee "$EXP/driver.log"
