@@ -64,10 +64,16 @@ def idx(path, lo, hi):
     counts = np.bincount([int(r["labels"][3:]) for r in recs], minlength=8)
     print(f"{path}: n={hi-lo} class counts {counts.tolist()}")
 
-# all three splits disjoint from pretraining's clip000000-000319
+# All three splits disjoint from pretraining's clip000000-000319 AND from
+# each other (round-5 fix: the first committed ranges overlapped train
+# 400-655 with val 600-663 by 56 clips, biasing best-epoch selection —
+# the held-out eval range was always disjoint; ranges now chain off
+# ntrain so no overlap is possible at any NTRAIN/NVAL/NEVAL).
+v0 = 400 + ntrain + 8
+e0 = v0 + nval + 8
 idx(f"{exp}/ft_train.json", 400, 400 + ntrain)
-idx(f"{exp}/ft_val.json", 600, 600 + nval)
-idx(f"{exp}/ft_eval.json", 700, 700 + neval)
+idx(f"{exp}/ft_val.json", v0, v0 + nval)
+idx(f"{exp}/ft_eval.json", e0, e0 + neval)
 with open(f"{exp}/labels.csv", "w") as f:
     f.write("index,mid,display_name\n")
     for i in range(8):
