@@ -600,14 +600,21 @@ def _pallas_bwd_tm(xqkv, bias, stats, do, *, num_heads: int, sp: int = 1):
     )(*args)
 
 
-# AVSIAM_ATTN_STATS=1 saves forward softmax statistics (rowmax + 1/denom,
-# packed [B, G, Np, 8] f32) for the backward, which then skips both N^2
-# reduce passes. MEASURED-NEGATIVE on v5e at B=64: 168.1 clips/s / 380.6 ms
-# vs 181.4 / 352.8 without — the per-head [Np, 1] column stores into the
-# narrow lane-8 stat block stall the forward kernel's pipeline for far more
-# than the two skipped backward reduces are worth. Kept as an A/B knob
-# (gradient-equivalence tested either way); default OFF.
-_SAVE_STATS = os.environ.get("AVSIAM_ATTN_STATS", "0") == "1"
+# AVSIAM_ATTN_STATS=N saves forward softmax statistics (rowmax + 1/denom,
+# packed [B, G, Np, 8] f32) for sequences with Np >= N; the backward then
+# skips both N^2 reduce passes. 0 = off (default), 1 = every sp=1 call.
+# Round-3 (pre-packing, so EVERY call was sp=1) measured the global form
+# negative at B=64: 168.1 clips/s / 380.6 ms vs 181.4 / 352.8 — the
+# per-head [Np, 1] column stores into the narrow lane-8 stat block stall
+# the forward kernel's pipeline for far more than the two skipped backward
+# reduces are worth. Round 5 made it a min-Np threshold and re-tested the
+# trade on the decoder alone, whose N=720 backward is the step's single
+# largest op family (4.6 ms x 8 blocks, BENCH_NOTES round-5
+# decomposition): AVSIAM_ATTN_STATS=720 measured 203.07/203.64 clips/s vs
+# 202.55/202.45 baseline (2 runs each, same session) — confined to the
+# decoder the saved stats win ~1.5 ms/step, so 720 is now the default
+# (gradient-equivalence tested either way; env knob for A/B).
+_STATS_MIN_NP = int(os.environ.get("AVSIAM_ATTN_STATS", "720"))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -620,7 +627,8 @@ def _pallas_attention_tm_fwd(xqkv, bias, num_heads, sp=1):
     # an 8-lane block, so it only fits 2*hp <= 8, i.e. head_dim >= 32
     # (ViT-B D=64, decoder D=32; D=16 would overflow the block)
     hp = _LANE // ((xqkv.shape[-1] // 3) // num_heads)
-    if _SAVE_STATS and _SOFTMAX_IMPL == "exp" and sp == 1 and 2 * hp <= 8:
+    if (_STATS_MIN_NP and xqkv.shape[1] >= _STATS_MIN_NP
+            and _SOFTMAX_IMPL == "exp" and sp == 1 and 2 * hp <= 8):
         out, stats = _pallas_fwd_tm(xqkv, bias, num_heads=num_heads,
                                     save_stats=True)
         return out, (xqkv, bias, stats)

@@ -35,6 +35,12 @@ def main():
     # the driver benchmark. Env overrides upstream still allow re-A/B.
     os.environ.setdefault("AVSIAM_SP_ROWS", "8192")
     os.environ.setdefault("AVSIAM_SMALLN", "pallas")
+    # decoder-only saved-stats attention backward (min-Np threshold 720):
+    # on-chip A/B 2026-08-21, 2 runs each: 203.07/203.64 clips/s vs
+    # 202.55/202.45 baseline — the round-3 forward-stall loss does not
+    # apply when stats are confined to the N=720 decoder blocks, whose
+    # backward is the step's largest op family (BENCH_NOTES round 5).
+    os.environ.setdefault("AVSIAM_ATTN_STATS", "720")
 
     import jax
 

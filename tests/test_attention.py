@@ -212,19 +212,19 @@ def test_token_major_saved_stats_match_recompute():
             return jnp.sum(att.pallas_attention_qkv(
                 xqkv, H, key_valid=valid, sp=1) ** 2)
 
-        saved = att._SAVE_STATS
+        saved = att._STATS_MIN_NP
         try:
-            att._SAVE_STATS = True
+            att._STATS_MIN_NP = 1
             # guard against a vacuous self-comparison: the stats path must
             # actually engage at this (sp=1, D>=32) configuration
             _, (_, _, stats) = att._pallas_attention_tm_fwd(
                 jnp.asarray(xqkv, jnp.float32), None, H, 1)
             assert stats is not None, "stats path did not engage"
             g_stats = jax.grad(loss)(xqkv)
-            att._SAVE_STATS = False
+            att._STATS_MIN_NP = 0
             g_rec = jax.grad(loss)(xqkv)
         finally:
-            att._SAVE_STATS = saved
+            att._STATS_MIN_NP = saved
         np.testing.assert_allclose(np.asarray(g_stats), np.asarray(g_rec),
                                    atol=1e-6, rtol=1e-6,
                                    err_msg=f"N={N} D={D} masked={masked}")
