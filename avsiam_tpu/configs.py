@@ -107,7 +107,8 @@ class CAVMAEConfig:
     mmixed_impl: str = "padded"
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
-    # 'auto' ('fres' on TPU, 'dense' elsewhere) | 'dense' (XLA two-GEMM) |
+    # 'auto' ('lnfres' on TPU at 128-aligned dims — round-5 measured-best;
+    # 'dense' elsewhere) | 'dense' (XLA two-GEMM) |
     # 'fres' (Pallas fwd keeping the hidden in VMEM + bf16 pre-GELU residual
     # out, XLA saved-residual bwd — measured-best on v5e, BENCH_NOTES.md) |
     # 'remat_g' (drop the pre-GELU hidden residual, recompute it in backward)
@@ -118,7 +119,9 @@ class CAVMAEConfig:
     mlp_impl: str = "auto"
     # decoder blocks' MLP impl; None = same as mlp_impl (the decoder's
     # [B,720,2048] hiddens are the step's largest MLP traffic — worth an
-    # independent knob)
+    # independent knob). Round 5: the inherited lnfres+lnfres combination
+    # is the measured-best default (the round-4 "catastrophe" did not
+    # reproduce; BENCH_NOTES round 5).
     dec_mlp_impl: Any = None
     remat_blocks: bool = False  # jax.checkpoint each encoder block
 

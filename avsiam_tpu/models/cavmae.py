@@ -35,7 +35,6 @@ TPU-first departures (mathematically equivalent):
 
 from __future__ import annotations
 
-import warnings
 from typing import Optional
 
 import flax.linen as nn
@@ -98,20 +97,13 @@ class MAEDecoder(nn.Module):
                                      jnp.float32)
         self.modality_v = self.param("modality_v", zeros, (1, 1, d.dim),
                                      jnp.float32)
+        # The decoder inherits the encoder's MLP impl unless overridden.
+        # (A round-4 guard here broke the inherited lnfres+lnfres combination
+        # after two "catastrophic" 77-116 clips/s readings; round-5
+        # re-measurement could not reproduce them — lnfres on both sides is
+        # in fact ~4.7 ms/step FASTER than fres and is now what 'auto'
+        # resolves to on TPU. BENCH_NOTES round 5 records the retraction.)
         dec_mlp = c.dec_mlp_impl or c.mlp_impl
-        if c.dec_mlp_impl is None and c.mlp_impl == "lnfres":
-            # lnfres on BOTH encoder and decoder is measured-catastrophic on
-            # TPU (77-116 clips/s vs ~200, 2.6-4.2x slower — BENCH_NOTES.md
-            # round-4 table). When the decoder impl merely *inherits*, break
-            # the combination by falling back to 'fres' (measured flat vs
-            # lnfres on one side). An explicit dec_mlp_impl='lnfres' still
-            # opts in for A/B work.
-            dec_mlp = "fres"
-            warnings.warn(
-                "mlp_impl='lnfres' on both encoder and decoder is "
-                "measured-catastrophic on TPU; decoder falls back to 'fres'. "
-                "Set dec_mlp_impl='lnfres' explicitly to override.",
-                stacklevel=2)
         self.blocks = [
             ModalityBlock(d.dim, d.num_heads, d.mlp_ratio, True, d.ln_eps,
                           self.dtype, c.attn_impl, c.vit.gelu,

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from avsiam_tpu.configs import ViTConfig
@@ -323,11 +324,24 @@ class ModalityBlock(nn.Module):
         output and the MLP output never round-trip HBM. Numerics match the
         unfused 'fres' form (f32 LN stats + f32 GELU under bf16 GEMMs).
 
+        'auto' resolves to lnfres here (TPU, 128-aligned dims only — the
+        kernel asserts D/H alignment) as of round 5: the round-4
+        "both-sides catastrophe" (77-116 clips/s) did NOT reproduce under
+        re-measurement — lnfres+lnfres runs ~4.7 ms/step FASTER than
+        fres+fres (310.0 vs 314.7 ms at B=64, BENCH_NOTES round 5), as its
+        traffic math always implied; the round-4 readings (2.6-4.2x spread
+        between two runs) are now attributed to degraded-tunnel noise.
+
         The kernel computes the residual add at self.dtype; the unfused path
         computes it in x's own dtype. Blocks always see x at self.dtype in
         this model family, but if a caller ever feeds a promoted (f32) x,
         fall back to the unfused form so residual precision matches."""
-        if self.mlp_impl == "lnfres" and x.dtype == self.dtype:
+        impl = self.mlp_impl
+        if (impl == "auto" and jax.default_backend() == "tpu"
+                and self.dim % 128 == 0
+                and int(self.dim * self.mlp_ratio) % 128 == 0):
+            impl = "lnfres"
+        if impl == "lnfres" and x.dtype == self.dtype:
             from avsiam_tpu.ops.mlp import fused_ln_mlp
             return fused_ln_mlp(
                 x.astype(self.dtype), n2.scale, n2.bias,

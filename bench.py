@@ -69,14 +69,17 @@ def main():
     # attention (Pallas token-major kernel everywhere — sample-packed
     # programs for short sequences, see ops/attention.py) + exact chunked
     # mmixed encoder (40% fewer pass-1 FLOPs than the padded
-    # multichip-friendly form) + 'fres' MLP (Pallas forward keeping the
-    # hidden in VMEM and emitting the bf16 pre-GELU residual; XLA backward
-    # — round 3: 202.1 clips/s, BENCH_NOTES.md). B=64 is the batch
-    # sweet spot per compile-dollar (round-3 sweep at this config: B=72
-    # 197.4, B=80 204.1 but with a ~16.5 min tunnel compile vs ~8 min at
-    # B=64 for +1%; B=96 exceeds HBM); first compile ~8 min.
+    # multichip-friendly form) + 'lnfres' MLP on BOTH encoder and decoder
+    # (Pallas forward folding the pre-MLP LayerNorm, keeping the hidden in
+    # VMEM and emitting the bf16 pre-GELU residual; XLA backward — round 5:
+    # ~4.7 ms/step faster than round 3/4's 'fres', after the round-4
+    # "both-sides catastrophe" reading failed to reproduce; BENCH_NOTES
+    # round 5). B=64 is the batch sweet spot per compile-dollar (B=80 is
+    # +1.3% but its cold tunnel compile has been observed anywhere between
+    # 466 s and 990 s — too risky for the driver's budget); first compile
+    # ~8 min.
     model_cfg = CAVMAEConfig(dtype=jnp.bfloat16, attn_impl="auto",
-                             mmixed_impl="exact", mlp_impl="fres")
+                             mmixed_impl="exact", mlp_impl="lnfres")
     cfg = PretrainConfig(model=model_cfg, opt=OptimizerConfig(lr=2e-4),
                          batch_size=B)
     model = CAVMAEPretrain(model_cfg)

@@ -314,11 +314,13 @@ def test_fused_ln_mlp_under_dp_mesh():
                                    atol=1e-4, rtol=1e-4, err_msg=name)
 
 
-def test_lnfres_both_sides_guard():
-    """mlp_impl='lnfres' with an *inherited* decoder impl must warn and fall
-    the decoder back to 'fres': the both-sides combination is
-    measured-catastrophic on TPU (77-116 vs ~200 clips/s, BENCH_NOTES.md
-    round-4 table). Explicit dec_mlp_impl='lnfres' still opts in silently."""
+def test_lnfres_both_sides_inherits_cleanly():
+    """The decoder inherits mlp_impl='lnfres' with no warning and no silent
+    fallback. (A round-4 guard warned and broke this combination after two
+    "catastrophic" throughput readings that round-5 re-measurement could
+    not reproduce — lnfres+lnfres is in fact the FASTER config and is what
+    'auto' now resolves to on TPU; BENCH_NOTES round 5.) The forward must
+    match an explicit dec_mlp_impl='lnfres' config bit-for-bit."""
     import warnings
 
     from avsiam_tpu.configs import CAVMAEConfig, DecoderConfig, ViTConfig
@@ -334,12 +336,12 @@ def test_lnfres_both_sides_guard():
     rngs = {"params": rng, "mask": rng, "perm": rng}
 
     cfg = CAVMAEConfig(vit=vit, decoder=dec, mlp_impl="lnfres")
-    with pytest.warns(UserWarning, match="lnfres"):
-        CAVMAEPretrain(cfg).init(rngs, a, v)
-
-    # explicit decoder 'lnfres' is an opt-in: no warning
     cfg2 = CAVMAEConfig(vit=vit, decoder=dec, mlp_impl="lnfres",
                         dec_mlp_impl="lnfres")
     with warnings.catch_warnings():
-        warnings.simplefilter("error", UserWarning)
-        CAVMAEPretrain(cfg2).init(rngs, a, v)
+        warnings.simplefilter("error", UserWarning)  # no warning either way
+        params = CAVMAEPretrain(cfg).init(rngs, a, v)
+        params2 = CAVMAEPretrain(cfg2).init(rngs, a, v)
+    out = CAVMAEPretrain(cfg).apply(params, a, v, rngs=rngs)
+    out2 = CAVMAEPretrain(cfg2).apply(params2, a, v, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out2[0]))
